@@ -1,0 +1,39 @@
+"""oscen_tpu — a TPU-native audio synthesis framework in JAX.
+
+A from-scratch rebuild of the capabilities of reedrosenbluth/oscen
+(a Rust compile-time-graph audio engine) designed for TPU hardware:
+the declarative graph becomes a traced, jit-compiled block function; voices
+batch across VPU lanes; per-sample recurrences become scans, prefix sums and
+closed forms; control logic (MIDI, voice allocation) runs host-side per
+block, mirroring the reference's control-thread↔audio-thread split.
+
+Flat re-exports mirror the reference's ``oscen::prelude``
+(/root/reference/oscen-lib/src/prelude.rs).
+"""
+
+from .core.events import (EventBuffer, EventInstance, EventQueue,
+                          NoteOffEvent, NoteOnEvent, RawMidiMessage,
+                          scalar_event)
+from .core.ramp import ValueRampState
+from .core.types import (DEFAULT_MAX_BLOCK_SIZE, Kind, ParamSpec, Policy,
+                         SampleRate)
+from .graph.builder import Frame, Graph, GraphError, call
+from .graph.node import HostNode, Node
+from .nodes.basic import (AddValue, AudioInput, Crossfade, FmOperator, Gain,
+                          HardClip, Mixer, Tremolo, Value)
+from .nodes.delay import Delay
+from .nodes.envelope import AdsrEnvelope
+from .nodes.filters import IirLowpass, LP18Filter, TptFilter
+from .nodes.oscillators import Oscillator, PolyBlepOscillator
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AddValue", "AdsrEnvelope", "AudioInput", "Crossfade", "Delay",
+    "DEFAULT_MAX_BLOCK_SIZE", "EventBuffer", "EventInstance", "EventQueue",
+    "FmOperator", "Frame", "Gain", "Graph", "GraphError", "HardClip",
+    "HostNode", "IirLowpass", "Kind", "LP18Filter", "Mixer", "Node",
+    "NoteOffEvent", "NoteOnEvent", "Oscillator", "ParamSpec",
+    "PolyBlepOscillator", "Policy", "RawMidiMessage", "SampleRate",
+    "Tremolo", "Value", "ValueRampState", "call", "scalar_event",
+]

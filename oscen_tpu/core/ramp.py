@@ -1,0 +1,67 @@
+"""Host-side linear parameter ramps.
+
+Port of the reference's ``ValueRampState`` (graph/types.rs:299-373).  Ramps
+are control-rate state that lives on the host; each block the ramp is
+materialized into a per-sample ``[B]`` float32 array staged into the jitted
+step, so the device sees exactly the per-sample values the reference's
+``tick()`` would produce (bit-exact f32 accumulation, including the
+land-exactly-on-target completion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ValueRampState:
+    def __init__(self, initial: float = 0.0):
+        self.current = np.float32(initial)
+        self.target = np.float32(initial)
+        self.increment = np.float32(0.0)
+        self.frames_remaining = 0
+
+    def set_immediate(self, v: float) -> None:
+        self.current = np.float32(v)
+        self.target = np.float32(v)
+        self.increment = np.float32(0.0)
+        self.frames_remaining = 0
+
+    def set_with_ramp(self, target: float, frames: int) -> None:
+        if frames == 0:
+            self.set_immediate(target)
+        else:
+            self.target = np.float32(target)
+            self.increment = np.float32(
+                (np.float32(target) - self.current) / np.float32(frames))
+            self.frames_remaining = int(frames)
+
+    def tick(self) -> bool:
+        """Advance one frame; returns True when the ramp just completed."""
+        if self.frames_remaining > 0:
+            self.frames_remaining -= 1
+            if self.frames_remaining == 0:
+                self.current = self.target
+                self.increment = np.float32(0.0)
+                return True
+            self.current = np.float32(self.current + self.increment)
+        return False
+
+    @property
+    def is_ramping(self) -> bool:
+        return self.frames_remaining > 0
+
+    def materialize_block(self, block_len: int) -> np.ndarray:
+        """Tick ``block_len`` times, returning the per-sample values.
+
+        Sample ``t`` holds the value after the ``t+1``-th tick — the value a
+        node reads at that sample in the reference's schedule (ramps tick at
+        the top of ``__advance_one_frame``, codegen/mod.rs:906-913).
+        """
+        out = np.empty((block_len,), np.float32)
+        if self.frames_remaining == 0:
+            out[:] = self.current
+            return out
+        for t in range(block_len):
+            self.tick()
+            out[t] = self.current
+        return out

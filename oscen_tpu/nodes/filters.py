@@ -1,0 +1,337 @@
+"""Filters.
+
+TPU-native counterparts of the reference filters:
+
+- :class:`TptFilter` — Zavalishin topology-preserving SVF lowpass
+  (/root/reference/oscen-lib/src/filters/tpt/mod.rs).
+- :class:`IirLowpass` — JUCE-style biquad, Direct Form II Transposed
+  (/root/reference/oscen-lib/src/filters/iir_lowpass/mod.rs).
+- :class:`LP18Filter` — 3-pole Hordijk-style 18 dB/oct lowpass
+  (/root/reference/examples/nih-twin-peaks/src/lp18_filter.rs).
+
+``tick`` mirrors the per-sample math exactly (including the
+recompute-on-change / every-32-frames coefficient cadences, carried in
+state).  ``process_block`` reformulates the 2-state linear recurrences as
+associative scans over 2x2 affine maps — parallel in time, exact up to f32
+reassociation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import SampleRate, stream, value
+from ..graph.node import Node
+from ..ops.scan import affine_scan
+
+PI = math.pi
+F32_EPS = float(np.finfo(np.float32).eps)
+DENORMAL_THRESHOLD = 1e-15
+
+
+def _tpt_coefficients(sr_hz: float, cutoff, q):
+    """Zavalishin coefficient set (reference tpt/mod.rs:69-82)."""
+    nyquist = sr_hz * 0.5 - F32_EPS
+    freq = jnp.clip(cutoff, 20.0, nyquist)
+    period = 0.5 / sr_hz
+    f = (2.0 * sr_hz) * jnp.tan(2.0 * PI * freq * period) * period
+    inv_q = 1.0 / q
+    h = 1.0 / (1.0 + inv_q * f + f * f)
+    return h, f, inv_q, f + inv_q  # h, g, r, k
+
+
+class TptFilter(Node):
+    """Topology-preserving SVF lowpass, generic over channel count."""
+
+    def __init__(self, cutoff: float = 1000.0, q: float = 0.707,
+                 channels: int = 1):
+        self.cutoff = float(cutoff)
+        self.q = float(q)
+        self.channels = int(channels)
+        self.INPUTS = (stream("input", 0.0, channels=channels),
+                       stream("cutoff", self.cutoff),
+                       value("q", self.q),
+                       stream("f_mod", 0.0))
+        self.OUTPUTS = (stream("output", channels=channels),)
+
+    def _zeros(self):
+        if self.channels == 1:
+            return jnp.float32(0.0)
+        return jnp.zeros((self.channels,), jnp.float32)
+
+    def init_state(self, sr: SampleRate):
+        h, g, r, k = _tpt_coefficients(sr.hz, jnp.float32(self.cutoff),
+                                       jnp.float32(self.q))
+        return {
+            "z0": self._zeros(), "z1": self._zeros(),
+            "current_cutoff": jnp.float32(self.cutoff),
+            "current_q": jnp.float32(self.q),
+            "h": jnp.float32(h), "g": jnp.float32(g),
+            "r": jnp.float32(r), "k": jnp.float32(k),
+        }
+
+    @staticmethod
+    def _apply_parameter_updates(state, ins, sr_hz):
+        """Per-sample parameter sanitize + recompute-on-change
+        (reference tpt/mod.rs:85-102)."""
+        nyquist = sr_hz * 0.5 - F32_EPS
+        max_cutoff = min(nyquist, 20_000.0)
+        cutoff_base = jnp.clip(ins["cutoff"], 20.0, max_cutoff)
+        q = jnp.clip(ins["q"], 0.1, 10.0)
+        modulation = jnp.clip(ins["f_mod"], -1.0, 1.0)
+        min_factor = 20.0 / cutoff_base
+        max_factor = max_cutoff / cutoff_base
+        factor = jnp.clip(1.0 + modulation, min_factor, max_factor)
+        cutoff = jnp.clip(cutoff_base * factor, 20.0, max_cutoff)
+
+        changed = jnp.logical_or(
+            jnp.abs(cutoff - state["current_cutoff"]) > F32_EPS,
+            jnp.abs(q - state["current_q"]) > F32_EPS)
+        h, g, r, k = _tpt_coefficients(sr_hz, cutoff, q)
+        pick = lambda new, old: jnp.where(changed, new, old)
+        return {
+            **state,
+            "current_cutoff": pick(cutoff, state["current_cutoff"]),
+            "current_q": pick(q, state["current_q"]),
+            "h": pick(h, state["h"]), "g": pick(g, state["g"]),
+            "r": pick(r, state["r"]), "k": pick(k, state["k"]),
+        }
+
+    def tick(self, state, ins, sr):
+        state = self._apply_parameter_updates(state, ins, sr.hz)
+        x = ins["input"]
+        h, g, k = state["h"], state["g"], state["k"]
+        z0, z1 = state["z0"], state["z1"]
+        high = (x - z0 * k - z1) * h
+        band = high * g + z0
+        low = band * g + z1
+        state = {**state, "z0": high * g + band, "z1": band * g + low}
+        return state, {"output": low}
+
+    def process_block(self, state, ins, events, sr, block_len):
+        # Per-sample coefficient update is data-parallel (depends only on
+        # this sample's inputs + change detection against the running
+        # value).  With block-constant params (the overwhelmingly common
+        # case) the coefficients are block-constant; with per-sample f_mod
+        # the change-detection cadence is recompute-every-change, which the
+        # vectorized form reproduces exactly because the recompute is a pure
+        # function of this sample's params.
+        st = self._apply_parameter_updates(
+            {**state,
+             "current_cutoff": jnp.broadcast_to(state["current_cutoff"],
+                                                (block_len,)),
+             "current_q": jnp.broadcast_to(state["current_q"], (block_len,))},
+            ins, sr.hz)
+        h, g, k = st["h"], st["g"], st["k"]
+        x = ins["input"]
+        if self.channels > 1:
+            h = h[..., None]
+            g = g[..., None]
+            k = k[..., None]
+
+        # One step: high = (x - k z0 - z1) h; z0' = (1-2ghk) z0 - 2gh z1 + 2gh x
+        #           z1' = 2g(1-ghk) z0 + (1-2g²h) z1 + 2g²h x
+        # y = low = g(1-ghk) z0 + (1-g²h) z1 + g²h x   (from pre-update z)
+        gh = g * h
+        ghk = gh * k
+        a00 = 1.0 - 2.0 * ghk
+        a01 = -2.0 * gh
+        a10 = 2.0 * g * (1.0 - ghk)
+        a11 = 1.0 - 2.0 * g * gh
+        b0 = 2.0 * gh * x
+        b1 = 2.0 * g * gh * x
+
+        def pack(a00, a01, a10, a11):
+            row0 = jnp.stack([a00 + jnp.zeros_like(b0),
+                              a01 + jnp.zeros_like(b0)], axis=-1)
+            row1 = jnp.stack([a10 + jnp.zeros_like(b0),
+                              a11 + jnp.zeros_like(b0)], axis=-1)
+            return jnp.stack([row0, row1], axis=-2)
+
+        A = pack(a00, a01, a10, a11)            # [B,(C,)2,2]
+        b = jnp.stack([b0, b1], axis=-1)        # [B,(C,)2]
+        z0vec = jnp.stack([state["z0"] + jnp.zeros_like(b0[0]),
+                           state["z1"] + jnp.zeros_like(b0[0])], axis=-1)
+        if self.channels > 1:
+            # affine_scan works on trailing (..., S, S)/(..., S); move C in.
+            z = affine_scan(A, b, z0vec)
+        else:
+            z = affine_scan(A, b, z0vec)
+        z_prev = jnp.concatenate(
+            [jnp.broadcast_to(z0vec, z[:1].shape), z[:-1]], axis=0)
+        y = (g * (1.0 - ghk)) * z_prev[..., 0] + \
+            (1.0 - g * gh) * z_prev[..., 1] + (g * gh) * x
+
+        new_state = {**{k2: (v[-1] if k2 in ("current_cutoff", "current_q",
+                                             "h", "g", "r", "k") else v)
+                        for k2, v in st.items()},
+                     "z0": z[-1, ..., 0], "z1": z[-1, ..., 1]}
+        return new_state, {"output": y}
+
+
+class IirLowpass(Node):
+    """JUCE-style biquad lowpass, Direct Form II Transposed."""
+
+    INPUTS = (stream("input", 0.0), value("cutoff", 1000.0),
+              value("q", 1.0 / math.sqrt(2.0)))
+    OUTPUTS = (stream("output"),)
+    FRAMES_PER_UPDATE = 32
+
+    def __init__(self, cutoff: float = 1000.0,
+                 q: float = 1.0 / math.sqrt(2.0)):
+        self.cutoff = float(cutoff)
+        self.q = float(q)
+        self.INPUTS = (stream("input", 0.0), value("cutoff", self.cutoff),
+                       value("q", self.q))
+
+    @staticmethod
+    def _coefficients(sr_hz, cutoff, q):
+        """JUCE makeLowPass (reference iir_lowpass/mod.rs:84-100)."""
+        nyquist = sr_hz * 0.5 - F32_EPS
+        freq = jnp.clip(cutoff, 20.0, nyquist)
+        q = jnp.maximum(q, 0.01)
+        n = 1.0 / jnp.tan(PI * freq / sr_hz)
+        n2 = n * n
+        c1 = 1.0 / (1.0 + 1.0 / q * n + n2)
+        b0 = c1
+        b1 = c1 * 2.0
+        b2 = c1
+        a1 = c1 * 2.0 * (1.0 - n2)
+        a2 = c1 * (1.0 - 1.0 / q * n + n2)
+        return b0, b1, b2, a1, a2
+
+    def init_state(self, sr: SampleRate):
+        b0, b1, b2, a1, a2 = self._coefficients(
+            sr.hz, jnp.float32(self.cutoff), jnp.float32(self.q))
+        return {"b0": b0, "b1": b1, "b2": b2, "a1": a1, "a2": a2,
+                "v1": jnp.float32(0.0), "v2": jnp.float32(0.0),
+                "frame_counter": jnp.int32(0)}
+
+    def tick(self, state, ins, sr):
+        update = state["frame_counter"] == 0
+        nb0, nb1, nb2, na1, na2 = self._coefficients(
+            sr.hz, ins["cutoff"], ins["q"])
+        pick = lambda new, old: jnp.where(update, new, old)
+        b0 = pick(nb0, state["b0"]); b1 = pick(nb1, state["b1"])
+        b2 = pick(nb2, state["b2"]); a1 = pick(na1, state["a1"])
+        a2 = pick(na2, state["a2"])
+        counter = (state["frame_counter"] + 1) % self.FRAMES_PER_UPDATE
+
+        x = ins["input"]
+        x = jnp.where(jnp.abs(x) < DENORMAL_THRESHOLD, 0.0, x)
+        out = b0 * x + state["v1"]
+        v1 = b1 * x - a1 * out + state["v2"]
+        v2 = b2 * x - a2 * out
+        v1 = jnp.where(jnp.abs(v1) < DENORMAL_THRESHOLD, 0.0, v1)
+        v2 = jnp.where(jnp.abs(v2) < DENORMAL_THRESHOLD, 0.0, v2)
+        return ({"b0": b0, "b1": b1, "b2": b2, "a1": a1, "a2": a2,
+                 "v1": v1, "v2": v2, "frame_counter": counter},
+                {"output": out})
+
+    def process_block(self, state, ins, events, sr, block_len):
+        # Coefficients update on the mod-32 cadence; reproduce it by
+        # computing per-sample candidates and latching at counter==0 frames.
+        counters = (state["frame_counter"]
+                    + jnp.arange(block_len, dtype=jnp.int32)) \
+            % self.FRAMES_PER_UPDATE
+        nb = self._coefficients(sr.hz, ins["cutoff"], ins["q"])
+        upd = counters == 0
+
+        def latch(cand, init):
+            # value at t = last candidate at an update frame <= t, else init
+            def combine(left, right):
+                lv, lh = left
+                rv, rh = right
+                return (jnp.where(rh, rv, lv), jnp.logical_or(lh, rh))
+            vals, have = jax.lax.associative_scan(
+                combine, (cand, upd), axis=0)
+            return jnp.where(have, vals, init)
+
+        b0 = latch(nb[0] + jnp.zeros((block_len,)), state["b0"])
+        b1 = latch(nb[1] + jnp.zeros((block_len,)), state["b1"])
+        b2 = latch(nb[2] + jnp.zeros((block_len,)), state["b2"])
+        a1 = latch(nb[3] + jnp.zeros((block_len,)), state["a1"])
+        a2 = latch(nb[4] + jnp.zeros((block_len,)), state["a2"])
+
+        x = ins["input"]
+        x = jnp.where(jnp.abs(x) < DENORMAL_THRESHOLD, 0.0, x)
+        # DFII-t as affine recurrence on v=[v1,v2]:
+        # out = b0 x + v1
+        # v1' = -a1 v1 + v2 + (b1 - a1 b0) x
+        # v2' = -a2 v1 +      (b2 - a2 b0) x
+        zeros = jnp.zeros_like(x)
+        A = jnp.stack([
+            jnp.stack([-a1, jnp.ones_like(x)], axis=-1),
+            jnp.stack([-a2, zeros], axis=-1)], axis=-2)
+        b = jnp.stack([(b1 - a1 * b0) * x, (b2 - a2 * b0) * x], axis=-1)
+        v0 = jnp.stack([state["v1"], state["v2"]], axis=-1)
+        v = affine_scan(A, b, v0)
+        v_prev = jnp.concatenate([v0[None, :], v[:-1]], axis=0)
+        out = b0 * x + v_prev[..., 0]
+        counter_next = (state["frame_counter"] + block_len) \
+            % self.FRAMES_PER_UPDATE
+        return ({"b0": b0[-1], "b1": b1[-1], "b2": b2[-1],
+                 "a1": a1[-1], "a2": a2[-1],
+                 "v1": v[-1, 0], "v2": v[-1, 1],
+                 "frame_counter": jnp.int32(counter_next)},
+                {"output": out})
+
+
+class LP18Filter(Node):
+    """Three-pole 18 dB/oct lowpass with a tanh-saturated first pole
+    (reference examples/nih-twin-peaks/src/lp18_filter.rs).
+
+    The tanh on the first integrator makes this a *nonlinear* recurrence;
+    the block implementation falls back to the per-sample scan.
+    """
+
+    INPUTS = (stream("input", 0.0), value("cutoff", 1000.0),
+              value("fmod", 0.0), value("resonance", 0.0))
+    OUTPUTS = (stream("output"),)
+
+    def __init__(self, cutoff: float = 1000.0, resonance: float = 0.0):
+        self.cutoff = float(cutoff)
+        self.resonance = float(np.clip(resonance, 0.0, 0.99))
+        self.INPUTS = (stream("input", 0.0), value("cutoff", self.cutoff),
+                       value("fmod", 0.0), value("resonance", self.resonance))
+
+    def init_state(self, sr: SampleRate):
+        fc = np.clip(self.cutoff / sr.hz, 0.001, 0.33)
+        return {"z": jnp.zeros((3,), jnp.float32),
+                "g": jnp.float32(np.tan(PI * fc, dtype=np.float32)),
+                "h": jnp.float32(2.0 * self.resonance),
+                "last_cutoff": jnp.float32(self.cutoff),
+                "last_fmod": jnp.float32(0.0),
+                "last_resonance": jnp.float32(self.resonance)}
+
+    def tick(self, state, ins, sr):
+        cutoff, fmod = ins["cutoff"], ins["fmod"]
+        resonance = ins["resonance"]
+        cut_changed = jnp.logical_or(cutoff != state["last_cutoff"],
+                                     fmod != state["last_fmod"])
+        fc = jnp.clip((cutoff + fmod) / sr.hz, 0.001, 0.33)
+        g = jnp.where(cut_changed, jnp.tan(PI * fc), state["g"])
+        res_changed = resonance != state["last_resonance"]
+        res_clamped = jnp.clip(resonance, 0.0, 0.99)
+        h = jnp.where(res_changed, 2.0 * res_clamped, state["h"])
+
+        z = state["z"]
+        hp = (ins["input"] - h * z[0] - z[1] - z[2]) / (1.0 + g)
+        bp1 = g * hp + z[0]
+        z0 = jnp.tanh(bp1)
+        bp2 = g * bp1 + z[1]
+        z1 = bp2
+        lp = g * bp2 + z[2]
+        z2 = lp
+        return ({"z": jnp.stack([z0, z1, z2]), "g": g, "h": h,
+                 "last_cutoff": jnp.where(cut_changed, cutoff,
+                                          state["last_cutoff"]),
+                 "last_fmod": jnp.where(cut_changed, fmod,
+                                        state["last_fmod"]),
+                 "last_resonance": jnp.where(res_changed, resonance,
+                                             state["last_resonance"])},
+                {"output": lp})

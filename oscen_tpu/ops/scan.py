@@ -1,0 +1,82 @@
+"""Parallel-in-time primitives for per-sample recurrences.
+
+The reference evaluates every IIR/one-pole/phase recurrence one sample at a
+time (SignalProcessor::process, graph/traits.rs:27-52).  On TPU the time axis
+is the vector axis, so linear recurrences are reformulated as *associative
+scans over affine maps* and phase accumulation as prefix sums — the central
+TPU reformulation (SURVEY §5.7).
+
+``affine_scan`` solves ``z[t] = A[t] @ z[t-1] + b[t]`` for all t in
+O(log B) depth using ``jax.lax.associative_scan`` over the monoid
+``(A2, b2) ∘ (A1, b1) = (A2@A1, A2@b1 + b2)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def affine_scan(A, b, z0):
+    """Solve the time-varying affine recurrence.
+
+    Args:
+      A: ``[B, S, S]`` (or ``[B]`` for scalar S=1 passed as ``[B,1,1]``)
+         per-step transition matrices.
+      b: ``[B, S]`` per-step offsets.
+      z0: ``[S]`` initial state (state *before* step 0).
+
+    Returns:
+      z: ``[B, S]`` where ``z[t]`` is the state *after* step t.
+    """
+    # DSP state recurrences need true f32 accumulation: on TPU the default
+    # matmul precision is bf16, which is audible — force HIGHEST.
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    def combine(left, right):
+        A1, b1 = left
+        A2, b2 = right
+        return (mm(A2, A1), jnp.squeeze(mm(A2, b1[..., None]), -1) + b2)
+
+    A_acc, b_acc = jax.lax.associative_scan(combine, (A, b), axis=0)
+    # z[t] = A_acc[t] @ z0 + b_acc[t]
+    z = jnp.squeeze(mm(A_acc, z0[..., None]), -1) + b_acc
+    return z
+
+
+def affine_scan_scalar(a, b, z0):
+    """Scalar special case: ``z[t] = a[t] * z[t-1] + b[t]``.
+
+    Args:
+      a, b: ``[B, ...]`` (broadcastable trailing dims, e.g. channels).
+      z0: ``[...]`` initial state.
+    Returns ``z: [B, ...]`` (state after each step).
+    """
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return (a2 * a1, a2 * b1 + b2)
+
+    a_acc, b_acc = jax.lax.associative_scan(combine, (a, b), axis=0)
+    return a_acc * z0 + b_acc
+
+
+def wrapped_phase_cumsum(phase0, dt):
+    """Phase accumulation ``phase[t] = wrap(phase0 + sum_{i<=t} dt[i])``.
+
+    The reference wraps per sample (``phase.rem_euclid(1.0)``,
+    oscillators/mod.rs:171-174); wrapping a prefix sum is mathematically
+    identical and fully parallel.  Returns (phase_before_step ``[B, ...]``,
+    final_carry) where ``phase_before_step[t]`` is the phase value *prior*
+    to adding ``dt[t]`` — the value the reference uses to synthesize the
+    output at sample t.
+    """
+    csum = jnp.cumsum(dt, axis=0)
+    before = jnp.concatenate(
+        [jnp.zeros_like(csum[:1]), csum[:-1]], axis=0) + phase0
+    before = before - jnp.floor(before)
+    carry = phase0 + csum[-1]
+    carry = carry - jnp.floor(carry)
+    return before, carry
