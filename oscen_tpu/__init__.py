@@ -24,16 +24,21 @@ from .nodes.basic import (AddValue, AudioInput, Crossfade, FmOperator, Gain,
 from .nodes.delay import Delay
 from .nodes.envelope import AdsrEnvelope
 from .nodes.filters import IirLowpass, LP18Filter, TptFilter
+from .nodes.midi import (EventPassthrough, MidiParser, MidiVoiceHandler,
+                         midi_note_to_freq, raw_midi_event)
 from .nodes.oscillators import Oscillator, PolyBlepOscillator
+from .nodes.voice_allocator import VoiceAllocator
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AddValue", "AdsrEnvelope", "AudioInput", "Crossfade", "Delay",
     "DEFAULT_MAX_BLOCK_SIZE", "EventBuffer", "EventInstance", "EventQueue",
-    "FmOperator", "Frame", "Gain", "Graph", "GraphError", "HardClip",
-    "HostNode", "IirLowpass", "Kind", "LP18Filter", "Mixer", "Node",
+    "EventPassthrough", "FmOperator", "Frame", "Gain", "Graph",
+    "GraphError", "HardClip", "HostNode", "IirLowpass", "Kind",
+    "LP18Filter", "MidiParser", "MidiVoiceHandler", "Mixer", "Node",
     "NoteOffEvent", "NoteOnEvent", "Oscillator", "ParamSpec",
     "PolyBlepOscillator", "Policy", "RawMidiMessage", "SampleRate",
-    "Tremolo", "Value", "ValueRampState", "call", "scalar_event",
+    "Tremolo", "Value", "ValueRampState", "VoiceAllocator", "call",
+    "midi_note_to_freq", "raw_midi_event", "scalar_event",
 ]

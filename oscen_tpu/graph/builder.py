@@ -76,15 +76,10 @@ class NodeInstanceRef:
         return EndpointRef(self._name, endpoint, index=self._index)
 
 
-class InputRef(Expr):
-    """Reference to a graph input (usable in connection sources)."""
-
-    def __init__(self, name: str):
-        self.name = name
-
-    # graph inputs are modeled as endpoints of a pseudo-node ""
-    def as_endpoint(self) -> EndpointRef:
-        return EndpointRef("", self.name)
+def InputRef(name: str) -> EndpointRef:
+    """Reference to a graph input: an endpoint of the pseudo-node ''.
+    Usable directly inside connection expressions."""
+    return EndpointRef("", name)
 
 
 def Frame(*channels) -> FrameCtor:
@@ -152,17 +147,27 @@ class Graph:
     # connections
     # ------------------------------------------------------------------ #
     def connect(self, source, dest, policy: Union[str, Policy] = Policy.DEFAULT,
-                via: Optional[Union[int, str, NodeRef]] = None) -> None:
-        """``source -> dest`` (optionally ``-> [via] ->``)."""
+                via: Optional[Union[int, str, NodeRef]] = None,
+                feedback: bool = False) -> None:
+        """``source -> dest`` (optionally ``-> [via] ->``).
+
+        ``feedback=True`` marks the edge as cycle-breaking: the destination
+        (or a source) must be a feedback-capable node (AllowsFeedback —
+        ≥ 1 sample of inherent delay, like Delay).  The edge then reads the
+        source's previous-sample value when the source sorts after the
+        destination, exactly like the reference's generated code reading a
+        stale struct field.
+        """
         policy = Policy(policy) if not isinstance(policy, Policy) else policy
         src = self._as_source_expr(source)
         dst = self._as_dest(dest)
+        if feedback and via is not None:
+            raise GraphError("use either feedback=True or via=, not both")
         self._connections.append(
-            {"src": src, "dst": dst, "policy": policy, "via": via})
+            {"src": src, "dst": dst, "policy": policy, "via": via,
+             "feedback": bool(feedback)})
 
     def _as_source_expr(self, source) -> Expr:
-        if isinstance(source, InputRef):
-            return source.as_endpoint()
         if isinstance(source, str):
             # graph input name or "node.endpoint"
             if "." in source:
@@ -238,6 +243,20 @@ class Graph:
                     "+", ir.output_edges[out_name], src)
             else:
                 ir.output_edges[out_name] = src
+            return
+
+        if stmt.get("feedback"):
+            # explicit feedback edge: validate a feedback-capable node sits
+            # on the cycle (the destination or one of the sources)
+            candidates = [dst.node] + [r.node for r in src.endpoints()
+                                       if r.node]
+            if not any(ir.nodes[n].node.ALLOWS_FEEDBACK
+                       for n in candidates if n in ir.nodes):
+                raise GraphError(
+                    "feedback edge requires a feedback-capable node "
+                    "(AllowsFeedback) at its destination or source")
+            ir.edges.append(IrEdge(src, dst.node, dst.endpoint, dst.index,
+                                   policy, is_feedback=True))
             return
 
         if via is None:

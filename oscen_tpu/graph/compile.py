@@ -90,6 +90,15 @@ class _Program:
                 if ep.kind == Kind.EVENT:
                     self.event_endpoints.append((name, ep.name))
 
+        # host node arrays get independent per-instance control state
+        import copy as _copy
+        self.host_instances: Dict[str, list] = {}
+        for name in self.host_nodes:
+            inst = ir.nodes[name]
+            if inst.count > 1:
+                self.host_instances[name] = [
+                    _copy.deepcopy(inst.node) for _ in range(inst.count)]
+
         self._validate_host_placement()
 
     def _setup_multirate(self):
@@ -296,8 +305,18 @@ class _SampleStep:
         new_state["__fb__"] = fb
 
         outs = {}
-        for oname, expr in ir.output_edges.items():
-            outs[oname] = prog.eval_expr(expr, resolver(None))
+        for o_ in ir.outputs:
+            expr = ir.output_edges.get(o_.name)
+            if expr is None:
+                continue
+            v = prog.eval_expr(expr, resolver(None))
+            # FanIn at the graph output: array-sourced outputs mix down by
+            # summation (emit_edge.rs:67-84; sum lowers to psum when the
+            # voice axis is sharded over a mesh)
+            want = 0 if o_.channels == 1 else 1
+            while jnp.ndim(v) > want:
+                v = jnp.sum(v, axis=0)
+            outs[o_.name] = v
         for o in ir.outputs:
             if o.name not in outs:
                 shape = () if o.channels == 1 else (o.channels,)
@@ -355,6 +374,8 @@ class CompiledGraph:
         self.state = self.prog.init_device_state()
         for name in self.prog.host_nodes:
             self.ir.nodes[name].node.reset()
+            for n in self.prog.host_instances.get(name, []):
+                n.reset()
         for q in self._event_queues.values():
             q.clear()
 
@@ -405,32 +426,87 @@ class CompiledGraph:
                 raise ValueError("event edges must be bare endpoints")
             return ev_env.get((src.node, src.endpoint), [])
 
+        def host_value_in(edges, ep):
+            v = float(ep.default or 0.0)
+            for e in edges:
+                src = e.source
+                if isinstance(src, Const):
+                    v = src.value
+                elif isinstance(src, EndpointRef) and src.node == "":
+                    v = float(self._params[src.endpoint].current)
+            return v
+
         for name in prog.host_nodes:
             inst = ir.nodes[name]
-            node = inst.node
-            ev_in: Dict[str, list] = {}
-            v_in: Dict[str, Any] = {}
-            for ep in node.INPUTS:
-                edges = prog.edges_by_dst.get((name, ep.name), [])
-                if ep.kind == Kind.EVENT:
-                    evs: List[EventInstance] = []
-                    for e in edges:
-                        evs.extend(source_events(e))
-                    ev_in[ep.name] = sorted(evs, key=lambda x: x.frame_offset)
-                else:
-                    v = float(ep.default or 0.0)
-                    for e in edges:
-                        src = e.source
-                        if isinstance(src, Const):
-                            v = src.value
-                        elif isinstance(src, EndpointRef) and src.node == "":
-                            v = float(self._params[src.endpoint].current)
-                    v_in[ep.name] = v
-            evs_out, vals_out = node.host_process(block_len, ev_in, v_in)
-            for ep, evs in (evs_out or {}).items():
-                ev_env[(name, ep)] = evs
-            for ep, arr in (vals_out or {}).items():
-                val_env[(name, ep)] = np.asarray(arr, np.float32)
+            if inst.count == 1:
+                node = inst.node
+                ev_in: Dict[str, list] = {}
+                v_in: Dict[str, Any] = {}
+                for ep in node.INPUTS:
+                    edges = prog.edges_by_dst.get((name, ep.name), [])
+                    if ep.kind == Kind.EVENT:
+                        evs: List[EventInstance] = []
+                        for e in edges:
+                            src_evs = source_events(e)
+                            if src_evs and isinstance(src_evs[0], list):
+                                idx = e.source.index
+                                if idx is not None:
+                                    evs.extend(src_evs[idx])
+                                else:
+                                    for sub in src_evs:
+                                        evs.extend(sub)
+                            else:
+                                evs.extend(src_evs)
+                        ev_in[ep.name] = sorted(
+                            evs, key=lambda x: x.frame_offset)
+                    else:
+                        v_in[ep.name] = host_value_in(edges, ep)
+                evs_out, vals_out = node.host_process(block_len, ev_in, v_in)
+                for ep, evs in (evs_out or {}).items():
+                    ev_env[(name, ep)] = evs
+                for ep, arr in (vals_out or {}).items():
+                    val_env[(name, ep)] = np.asarray(arr, np.float32)
+            else:
+                # host node array: per-instance control state, parallel
+                # event demux from array sources (broadcast scalar sources)
+                instances = prog.host_instances[name]
+                all_ev_out: Dict[str, list] = {}
+                all_val_out: Dict[str, list] = {}
+                for i, node in enumerate(instances):
+                    ev_in = {}
+                    v_in = {}
+                    for ep in node.INPUTS:
+                        edges = prog.edges_by_dst.get((name, ep.name), [])
+                        if ep.kind == Kind.EVENT:
+                            evs = []
+                            for e in edges:
+                                if e.dst_index is not None \
+                                        and e.dst_index != i:
+                                    continue
+                                src_evs = source_events(e)
+                                if src_evs and isinstance(src_evs[0], list):
+                                    if e.source.index is not None:
+                                        evs.extend(src_evs[e.source.index])
+                                    elif i < len(src_evs):
+                                        evs.extend(src_evs[i])
+                                else:
+                                    evs.extend(src_evs)
+                            ev_in[ep.name] = sorted(
+                                evs, key=lambda x: x.frame_offset)
+                        else:
+                            v_in[ep.name] = host_value_in(edges, ep)
+                    evs_out, vals_out = node.host_process(
+                        block_len, ev_in, v_in)
+                    for ep, evs in (evs_out or {}).items():
+                        all_ev_out.setdefault(ep, []).append(evs)
+                    for ep, arr in (vals_out or {}).items():
+                        all_val_out.setdefault(ep, []).append(
+                            np.asarray(arr, np.float32))
+                for ep, evs in all_ev_out.items():
+                    ev_env[(name, ep)] = evs  # list of per-instance lists
+                for ep, arrs in all_val_out.items():
+                    # [count, B] -> staged per-sample as [B, count]
+                    val_env[(name, ep)] = np.stack(arrs, axis=-1)
 
         # stage device event buffers
         ev_bufs: Dict[str, EventBuffer] = {}

@@ -1,0 +1,98 @@
+"""Polyphonic voice allocation — host-domain control node.
+
+Port of the reference's CMajor-style LRU VoiceAllocator
+(/root/reference/oscen-lib/src/voice_allocator.rs): free voice first, else
+steal preferring released-then-oldest; released voices stay active through
+their release phase.  Control logic at event rate → runs on the host per
+block; its ``voices`` event-output array demuxes note events onto the
+per-voice gate endpoints of a device node array (the 256-voice batch axis).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from ..core.events import EventInstance, NoteOffEvent, NoteOnEvent
+from ..core.types import event
+from ..graph.node import HostNode
+
+MAX_VOICES = 256  # reference caps at 24 (voice_allocator.rs:5); the TPU
+# build raises the cap — voices are the batch axis, 256 is the north star.
+
+
+class _VoiceState:
+    __slots__ = ("active", "released", "note", "age")
+
+    def __init__(self):
+        self.active = False
+        self.released = False
+        self.note = None
+        self.age = 0
+
+
+class VoiceAllocator(HostNode):
+    INPUTS = (event("note_on"), event("note_off"))
+    OUTPUTS = (event("voices"),)  # array event output [num_voices]
+
+    def __init__(self, num_voices: int):
+        if not (1 <= num_voices <= MAX_VOICES):
+            raise ValueError(f"num_voices must be in 1..{MAX_VOICES}")
+        self.num_voices = int(num_voices)
+        self.reset()
+
+    def reset(self):
+        self._state = [_VoiceState() for _ in range(self.num_voices)]
+        self._age = 0
+
+    # ------------------------------------------------------------------ #
+    def allocate_voice(self, note: int) -> int:
+        """Free voice first, else steal released-then-oldest
+        (reference :57-89)."""
+        for i, v in enumerate(self._state):
+            if not v.active:
+                v.active, v.released, v.note, v.age = True, False, note, \
+                    self._age
+                self._age += 1
+                return i
+        stolen = min(
+            range(self.num_voices),
+            key=lambda i: (0 if self._state[i].released else 1,
+                           self._state[i].age))
+        v = self._state[stolen]
+        v.active, v.released, v.note, v.age = True, False, note, self._age
+        self._age += 1
+        return stolen
+
+    def find_voice_for_note(self, note: int):
+        for i, v in enumerate(self._state):
+            if v.active and not v.released and v.note == note:
+                return i
+        return None
+
+    def release_voice(self, i: int) -> None:
+        """Mark released but keep active through the release phase
+        (reference :101-107)."""
+        if 0 <= i < self.num_voices:
+            self._state[i].released = True
+            self._state[i].note = None
+
+    # ------------------------------------------------------------------ #
+    def host_process(self, block_len, events_in, values_in):
+        voices: List[List[EventInstance]] = [
+            [] for _ in range(self.num_voices)]
+        merged = []
+        for i, ev in enumerate(events_in.get("note_on", [])):
+            merged.append((ev.frame_offset, 0, i, "on", ev))
+        for i, ev in enumerate(events_in.get("note_off", [])):
+            merged.append((ev.frame_offset, 1, i, "off", ev))
+        merged.sort(key=lambda x: (x[0], x[1], x[2]))
+        for off, _, _, kind, ev in merged:
+            if kind == "on" and isinstance(ev.payload, NoteOnEvent):
+                idx = self.allocate_voice(ev.payload.note)
+                voices[idx].append(ev)
+            elif kind == "off" and isinstance(ev.payload, NoteOffEvent):
+                idx = self.find_voice_for_note(ev.payload.note)
+                if idx is not None:
+                    voices[idx].append(ev)
+                    self.release_voice(idx)
+        return {"voices": voices}, {}
