@@ -1,0 +1,68 @@
+"""Benchmark: polyphonic synth real-time factor on one TPU chip.
+
+Renders the flagship polyphonic synth (256 voices: PolyBLEP saw → TPT
+filter, ADSR VCA, voice-allocated MIDI chord) and reports rendered audio
+throughput as a multiple of real time at 48 kHz.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the north-star
+target is >= 1000x real time per chip for 256 voices, so
+``vs_baseline = value / 1000``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from oscen_tpu.models.poly_synth import build_poly_synth
+    from oscen_tpu import raw_midi_event
+
+    NUM_VOICES = 256
+    SR = 48_000.0
+    BLOCK = 512
+    mode = "sample"
+    for a in sys.argv[1:]:
+        if a.startswith("--mode="):
+            mode = a.split("=", 1)[1]
+
+    g = build_poly_synth(NUM_VOICES)
+    synth = g.compile(sample_rate=SR, block_size=BLOCK, mode=mode)
+
+    # strike a large chord so every voice is active
+    for i in range(NUM_VOICES):
+        synth.queue_event("midi_in", 0, raw_midi_event([0x90, 36 + (i % 64),
+                                                        100]))
+    # warmup: first block carries events (one jit variant), later blocks
+    # are the steady-state no-event variant
+    out = synth.process_block()
+    for _ in range(3):
+        out = synth.process_block()
+    jax.block_until_ready(out["audio_out"])
+
+    n_blocks = 64
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        out = synth.process_block()
+    jax.block_until_ready(out["audio_out"])
+    dt = time.perf_counter() - t0
+
+    frames = n_blocks * BLOCK
+    rtf = (frames / SR) / dt  # x real time
+    result = {
+        "metric": f"poly_synth_{NUM_VOICES}v_rtf_48k",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 1000.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
