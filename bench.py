@@ -27,7 +27,7 @@ def main():
     NUM_VOICES = 256
     SR = 48_000.0
     BLOCK = 512
-    mode = "sample"
+    mode = "block"
     for a in sys.argv[1:]:
         if a.startswith("--mode="):
             mode = a.split("=", 1)[1]
@@ -39,17 +39,15 @@ def main():
     for i in range(NUM_VOICES):
         synth.queue_event("midi_in", 0, raw_midi_event([0x90, 36 + (i % 64),
                                                         100]))
-    # warmup: first block carries events (one jit variant), later blocks
-    # are the steady-state no-event variant
+    # first block carries the events; steady-state rendering follows
     out = synth.process_block()
-    for _ in range(3):
-        out = synth.process_block()
     jax.block_until_ready(out["audio_out"])
 
-    n_blocks = 64
+    n_blocks = 256
+    out = synth.render_steady(n_blocks)  # warmup/compile
+    jax.block_until_ready(out["audio_out"])
     t0 = time.perf_counter()
-    for _ in range(n_blocks):
-        out = synth.process_block()
+    out = synth.render_steady(n_blocks)
     jax.block_until_ready(out["audio_out"])
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,417 @@
+"""Block-mode codegen: time-vectorized per-node execution.
+
+The fast path (SURVEY §7 step 9): instead of one fused per-sample scan over
+the whole graph (sample mode — the op-order parity path), each node
+processes the whole ``[B]`` block at once via its vectorized
+``process_block`` (cumsum phases, associative scans, closed-form
+envelopes).  Per-sample sequencing survives only where it must:
+
+- nodes caught in feedback cycles form **scan islands** — strongly
+  connected components (over normal + feedback edges) executed by a
+  per-sample ``lax.scan`` restricted to the island;
+- cross-island feedback edges become one-sample shifts of whole blocks,
+  with the carry in ``state["__fb__"]`` (bit-identical to the sample-mode
+  previous-sample read).
+
+Value convention inside a block: scalar nodes see time-leading ``[B, ...]``
+arrays; node arrays are instance-leading ``[C, B, ...]`` and vmapped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.events import EventBuffer
+from ..core.types import Kind
+from .ir import Const, EndpointRef, Fanout, IrEdge
+
+__all__ = ["make_block_fn"]
+
+
+def _sccs(nodes: List[str], deps: Dict[str, set]) -> List[List[str]]:
+    """Tarjan SCCs; returns components in reverse topological order of the
+    condensed DAG (so we reverse before use)."""
+    index: Dict[str, int] = {}
+    low: Dict[str, int] = {}
+    on_stack: Dict[str, bool] = {}
+    stack: List[str] = []
+    out: List[List[str]] = []
+    counter = [0]
+
+    def strongconnect(v: str):
+        # iterative Tarjan to dodge recursion limits
+        work = [(v, iter(sorted(deps.get(v, ()))))]
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        stack.append(v)
+        on_stack[v] = True
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, iter(sorted(deps.get(w, ())))))
+                    advanced = True
+                    break
+                elif on_stack.get(w):
+                    low[node] = min(low[node], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == node:
+                        break
+                out.append(comp)
+
+    for v in nodes:
+        if v not in index:
+            strongconnect(v)
+    return out
+
+
+def make_block_fn(prog, block_len: int):
+    """Build the block-mode traced function
+    ``(state, per_block, ev_bufs) -> (state, out_blocks)``."""
+    ir = prog.ir
+    B = block_len
+
+    # dependency graph over device nodes (normal + feedback edges)
+    deps: Dict[str, set] = {n: set() for n in prog.device_nodes}
+    fb_internal_edges: List[IrEdge] = []
+    for e in ir.edges:
+        if e.dst_node not in deps:
+            continue
+        for r in e.source.endpoints():
+            if r.node and r.node in deps and r.node != e.dst_node:
+                deps[e.dst_node].add(r.node)
+
+    # Tarjan pops sink components first; with edges pointing at
+    # prerequisites that IS evaluation order (dependencies first).
+    comps = _sccs(prog.device_nodes, deps)
+    comp_of: Dict[str, int] = {}
+    for i, comp in enumerate(comps):
+        for n in comp:
+            comp_of[n] = i
+    # preserve sample-mode topo order inside each island
+    topo_pos = {n: i for i, n in enumerate(ir.order)}
+    comps = [sorted(c, key=lambda n: topo_pos[n]) for c in comps]
+
+    def is_island(comp: List[str]) -> bool:
+        if len(comp) > 1:
+            return True
+        n = comp[0]
+        return n in deps.get(n, ()) or any(
+            e.is_feedback and e.src_reads_state and e.dst_node == n
+            and all(r.node == n for r in e.source.endpoints() if r.node)
+            for e in ir.edges)
+
+    islands = [c for c in comps if len(c) > 1]
+
+    def node_count(name: str) -> int:
+        return ir.nodes[name].count
+
+    # ------------------------------------------------------------------ #
+    def block_fn(state, per_block, ev_bufs):
+        env: Dict[Tuple[str, str], Any] = {}
+        new_state = dict(state)
+        fb = dict(state["__fb__"])
+
+        def resolve_block(edge: Optional[IrEdge]):
+            def resolve(ref: EndpointRef):
+                if ref.node == "":
+                    return per_block[ref.endpoint]  # [B] or [B, C]
+                if ref.node in prog.host_set:
+                    v = per_block[f"__host__{ref.node}.{ref.endpoint}"]
+                    if v.ndim == 2:  # [B, C] -> instance-leading [C, B]
+                        v = jnp.moveaxis(v, 0, 1)
+                    return v
+                key = (ref.node, ref.endpoint)
+                v = env[key]
+                if edge is not None and edge.is_feedback \
+                        and edge.src_reads_state:
+                    # previous-sample read: shift the block by one along
+                    # time, seeding with the carry from the last block
+                    taxis = 1 if node_count(ref.node) > 1 else 0
+                    init = state["__fb__"][f"{ref.node}.{ref.endpoint}"]
+                    init = jnp.expand_dims(init, taxis)
+                    v = jnp.concatenate(
+                        [init, jax.lax.slice_in_dim(v, 0, B - 1, axis=taxis)],
+                        axis=taxis)
+                return v
+            return resolve
+
+        def gather_block(name: str) -> Dict[str, Any]:
+            inst = ir.nodes[name]
+            ins: Dict[str, Any] = {}
+            for ep in inst.node.INPUTS:
+                if ep.kind in (Kind.EVENT, Kind.ASSET):
+                    continue
+                edges = prog.edges_by_dst.get((name, ep.name), [])
+                val = None
+                for e in edges:
+                    v = prog.eval_expr(e.source, resolve_block(e))
+                    v = _shape_for_dst(v, e, inst, ep, B)
+                    if e.dst_index is not None:
+                        base = val if val is not None else \
+                            _default_block(inst, ep, B)
+                        val = base.at[e.dst_index].set(v)
+                    elif val is None:
+                        val = v
+                    else:
+                        val = val + v
+                if val is None:
+                    val = _default_block(inst, ep, B)
+                ins[ep.name] = val
+            return ins
+
+        def _shape_for_dst(v, e, inst, ep, B):
+            """Normalize an evaluated source to the destination's block
+            convention ([B,...] scalar / [C,B,...] array)."""
+            if e.fanout == Fanout.FAN_IN and e.dst_index is None:
+                # FAN_IN sources carry the instance axis first: sum it
+                v = jnp.sum(v, axis=0)
+            count = inst.count
+            if count > 1 and e.dst_index is None:
+                # need [C, B, ...]
+                if jnp.ndim(v) == 0 or (jnp.ndim(v) >= 1
+                                        and v.shape[0] == B):
+                    v = jnp.broadcast_to(v, (count,) + jnp.shape(v))
+                elif v.shape[0] != count:
+                    v = v[:count]
+            return v
+
+        def _default_block(inst, ep, B):
+            shape = ep.shape if ep.shape else (
+                () if ep.channels == 1 else (ep.channels,))
+            full = ((inst.count,) if inst.count > 1 else ()) + (B,) + shape
+            return jnp.full(full, float(ep.default or 0.0), jnp.float32)
+
+        # -------------------------------------------------------------- #
+        for comp in comps:
+            if len(comp) == 1 and not is_island(comp):
+                name = comp[0]
+                inst = ir.nodes[name]
+                node = inst.node
+                sr = prog.scaled_sr(inst)
+                ins = gather_block(name)
+                evs = {ep.name: ev_bufs[f"{name}.{ep.name}"]
+                       for ep in node.INPUTS if ep.kind == Kind.EVENT
+                       and f"{name}.{ep.name}" in ev_bufs
+                       and ev_bufs[f"{name}.{ep.name}"].capacity > 0}
+                st = new_state[name]
+                if inst.count > 1:
+                    st, outs = jax.vmap(
+                        lambda s, i, ev: node.process_block(
+                            s, i, ev, sr, B),
+                        in_axes=(0, 0, 0))(st, ins, evs)
+                else:
+                    st, outs = node.process_block(st, ins, evs, sr, B)
+                new_state[name] = st
+                for k, v in outs.items():
+                    if inst.count > 1:
+                        env[(name, k)] = v  # [C, B, ...] (vmap out_axes 0)
+                    else:
+                        env[(name, k)] = v  # [B, ...]
+            else:
+                # ---- scan island: per-sample over the component -------
+                island = comp
+                island_set = set(island)
+
+                # inputs feeding the island from outside: evaluate whole
+                # blocks now, slice per sample inside the scan
+                ext_inputs: Dict[Tuple[str, str, int], Any] = {}
+                for name in island:
+                    inst = ir.nodes[name]
+                    for ep in inst.node.INPUTS:
+                        if ep.kind in (Kind.EVENT, Kind.ASSET):
+                            continue
+                        for j, e in enumerate(prog.edges_by_dst.get(
+                                (name, ep.name), [])):
+                            src_nodes = {r.node for r in
+                                         e.source.endpoints() if r.node}
+                            if src_nodes & island_set:
+                                continue  # internal edge
+                            v = prog.eval_expr(e.source, resolve_block(e))
+                            ext_inputs[(name, ep.name, j)] = v
+
+                island_state = {n: new_state[n] for n in island}
+                fb_keys_here = [
+                    (n, epn) for (n, epn) in prog.fb_keys if n in island_set]
+                island_state["__fb__"] = {
+                    f"{n}.{epn}": fb[f"{n}.{epn}"]
+                    for (n, epn) in fb_keys_here}
+                island_evs = {
+                    f"{n}.{ep.name}": ev_bufs[f"{n}.{ep.name}"]
+                    for n in island for ep in ir.nodes[n].node.INPUTS
+                    if ep.kind == Kind.EVENT
+                    and f"{n}.{ep.name}" in ev_bufs
+                    and ev_bufs[f"{n}.{ep.name}"].capacity > 0}
+
+                def island_step(carry, xs, island=island,
+                                island_set=island_set,
+                                fb_keys_here=fb_keys_here,
+                                island_evs=island_evs):
+                    ist, t, ext_t = carry[0], xs[0], xs[1]
+                    env_t: Dict[Tuple[str, str], Any] = {}
+
+                    def resolve_t(edge):
+                        def r(ref: EndpointRef):
+                            if ref.node == "":
+                                return jnp.take(per_block[ref.endpoint],
+                                                t, axis=0)
+                            if ref.node in prog.host_set:
+                                v = per_block[
+                                    f"__host__{ref.node}.{ref.endpoint}"]
+                                return jnp.take(v, t, axis=0)
+                            key = (ref.node, ref.endpoint)
+                            if ref.node not in island_set and key in env:
+                                v = env[key]
+                                taxis = 1 if node_count(ref.node) > 1 \
+                                    else 0
+                                return jnp.take(v, t, axis=taxis)
+                            if key in env_t:
+                                if edge is not None and edge.is_feedback \
+                                        and edge.src_reads_state:
+                                    return ist["__fb__"][
+                                        f"{ref.node}.{ref.endpoint}"]
+                                return env_t[key]
+                            return ist["__fb__"][
+                                f"{ref.node}.{ref.endpoint}"]
+                        return r
+
+                    new_ist = dict(ist)
+                    for name in island:
+                        inst = ir.nodes[name]
+                        node = inst.node
+                        sr = prog.scaled_sr(inst)
+                        ins = {}
+                        for ep in node.INPUTS:
+                            if ep.kind in (Kind.EVENT, Kind.ASSET):
+                                continue
+                            edges = prog.edges_by_dst.get(
+                                (name, ep.name), [])
+                            val = None
+                            for j, e in enumerate(edges):
+                                if (name, ep.name, j) in ext_t:
+                                    v = ext_t[(name, ep.name, j)]
+                                else:
+                                    v = prog.eval_expr(
+                                        e.source, resolve_t(e))
+                                if e.fanout == Fanout.FAN_IN \
+                                        and e.dst_index is None:
+                                    v = jnp.sum(v, axis=0)
+                                if e.dst_index is not None:
+                                    base = val if val is not None else \
+                                        prog._default_value(inst, ep)
+                                    val = base.at[e.dst_index].set(v)
+                                elif val is None:
+                                    if inst.count > 1 and e.fanout in (
+                                            Fanout.SCALAR,
+                                            Fanout.BROADCAST):
+                                        v = prog._broadcast_to_count(
+                                            v, inst.count, ep)
+                                    val = v
+                                else:
+                                    if inst.count > 1 and e.fanout in (
+                                            Fanout.SCALAR,
+                                            Fanout.BROADCAST):
+                                        v = prog._broadcast_to_count(
+                                            v, inst.count, ep)
+                                    val = val + v
+                            if val is None:
+                                val = prog._default_value(inst, ep)
+                            ins[ep.name] = val
+                        st = new_ist[name]
+                        for ep in node.INPUTS:
+                            if ep.kind != Kind.EVENT:
+                                continue
+                            buf = island_evs.get(f"{name}.{ep.name}")
+                            if buf is None:
+                                continue
+                            if inst.count > 1:
+                                st = jax.vmap(
+                                    lambda s, b, i: node.apply_events_at(
+                                        s, ep.name, b, t, sr, i)
+                                )(st, buf, ins)
+                            else:
+                                st = node.apply_events_at(
+                                    st, ep.name, buf, t, sr, ins)
+                        if inst.count > 1:
+                            st, outs = jax.vmap(
+                                lambda s, i: node.tick(s, i, sr))(st, ins)
+                        else:
+                            st, outs = node.tick(st, ins, sr)
+                        new_ist[name] = st
+                        for k, v in outs.items():
+                            env_t[(name, k)] = v
+                    nfb = dict(ist["__fb__"])
+                    for (n, epn) in fb_keys_here:
+                        nfb[f"{n}.{epn}"] = env_t[(n, epn)]
+                    new_ist["__fb__"] = nfb
+                    out_t = {f"{n}.{k}": v for (n, k), v in env_t.items()}
+                    return (new_ist,), out_t
+
+                # slice external blocks per sample: time axis is 0 for
+                # scalar-shaped blocks, else instance-leading -> move time
+                # to front for the scan xs
+                ext_scan = {}
+                for key, v in ext_inputs.items():
+                    taxis = 0 if (jnp.ndim(v) >= 1 and v.shape[0] == B) \
+                        else 1
+                    ext_scan[key] = jnp.moveaxis(v, taxis, 0) \
+                        if taxis != 0 else v
+                ts = jnp.arange(B, dtype=jnp.int32)
+                (island_state,), outs_t = jax.lax.scan(
+                    island_step, (island_state,), (ts, ext_scan))
+                for n in island:
+                    new_state[n] = island_state[n]
+                for key, v in island_state["__fb__"].items():
+                    fb[key] = v
+                for key, v in outs_t.items():
+                    n, k = key.rsplit(".", 1)
+                    # scan stacks time on axis 0; arrays need [C, B, ...]
+                    if ir.nodes[n].count > 1:
+                        v = jnp.moveaxis(v, 0, 1)
+                    env[(n, k)] = v
+
+        # refresh cross-island feedback carries: last sample of the block
+        for (n, epn) in prog.fb_keys:
+            v = env.get((n, epn))
+            if v is None:
+                continue
+            taxis = 1 if node_count(n) > 1 else 0
+            fb[f"{n}.{epn}"] = jax.lax.index_in_dim(
+                v, B - 1, axis=taxis, keepdims=False)
+        new_state["__fb__"] = fb
+
+        # graph outputs
+        outs = {}
+        for o in ir.outputs:
+            expr = ir.output_edges.get(o.name)
+            if expr is None:
+                shape = (B,) if o.channels == 1 else (B, o.channels)
+                outs[o.name] = jnp.zeros(shape, jnp.float32)
+                continue
+            v = prog.eval_expr(expr, resolve_block(None))
+            want = 1 if o.channels == 1 else 2
+            while jnp.ndim(v) > want:
+                v = jnp.sum(v, axis=0)
+            outs[o.name] = v
+        return new_state, outs
+
+    return block_fn

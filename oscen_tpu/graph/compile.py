@@ -633,6 +633,47 @@ class CompiledGraph:
                 [np.asarray(c[o.name]) for c in chunks], axis=0)[:total]
         return out
 
+    def render_steady(self, num_blocks: int,
+                      block_len: Optional[int] = None
+                      ) -> Dict[str, jnp.ndarray]:
+        """Fused steady-state rendering: scan the block function over
+        ``num_blocks`` blocks entirely on device (no events, parameters
+        frozen at their current values).  One host dispatch for the whole
+        span — the serving-path analogue of a long audio callback run,
+        and the right way to benchmark (per-block host staging would
+        otherwise dominate at >100x realtime)."""
+        B = int(block_len or self.block_size)
+        ev_bufs, host_vals = self._host_prepass(B)
+        per_block: Dict[str, Any] = {}
+        for gi in self.ir.inputs:
+            if gi.kind == Kind.VALUE:
+                per_block[gi.name] = jnp.asarray(
+                    self._params[gi.name].materialize_block(B))
+            elif gi.kind == Kind.STREAM:
+                shape = (B,) if gi.channels == 1 else (B, gi.channels)
+                per_block[gi.name] = jnp.zeros(shape, jnp.float32)
+        for k, arr in host_vals.items():
+            per_block[k] = jnp.asarray(arr)
+
+        ev_caps = tuple(sorted((k, v.capacity) for k, v in ev_bufs.items()))
+        key = ("steady", self.mode, B, ev_caps, tuple(sorted(per_block)),
+               int(num_blocks))
+        fn = self._block_fn_cache.get(key)
+        if fn is None:
+            inner = self._get_block_fn(B, ev_caps, tuple(sorted(per_block)))
+
+            def steady(state, per_block, ev_bufs):
+                def body(st, _):
+                    return inner(st, per_block, ev_bufs)
+                return jax.lax.scan(body, state, None, length=num_blocks)
+
+            fn = jax.jit(steady) if self._jit else steady
+            self._block_fn_cache[key] = fn
+        self.state, outs = fn(self.state, per_block, ev_bufs)
+        # outs: [num_blocks, B, ...] -> concat time
+        return {k: jnp.reshape(v, (-1,) + v.shape[2:])
+                for k, v in outs.items()}
+
     def render_mono(self, num_frames: int, **kw) -> np.ndarray:
         outs = self.render(num_frames, **kw)
         if len(outs) != 1:

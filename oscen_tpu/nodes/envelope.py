@@ -209,6 +209,144 @@ class AdsrEnvelope(Node):
         return out_state, {"output": level}
 
 
+    # ------------------------------------------------------------------ #
+    # block mode: segment-wise closed forms (SURVEY §5.7 — "ADSR =
+    # segment-wise closed-form exponentials between gate events")
+    # ------------------------------------------------------------------ #
+    def process_block(self, state, ins, events, sr, block_len):
+        """Closed-form evaluation: the one-pole attack/decay and linear
+        release telescope to exact exponentials/lines, so the whole block
+        evaluates in O(1) depth.  Gate events split the block into K+1
+        segments with dynamic boundaries handled by per-sample masking.
+
+        Assumes block-constant ADSR parameters for the stage-length math
+        (values at each segment start); the sustain level itself follows
+        per-sample parameter changes.  The per-sample ``tick`` (sample
+        mode) is the exact-cadence reference path.
+        """
+        B = block_len
+        buf = events.get("gate")
+        k_events = buf.capacity if buf is not None else 0
+        t_idx = jnp.arange(B, dtype=jnp.float32)
+
+        def pw(one_minus_c, e):
+            # (1-c)^e via exp/log; c<1 guaranteed by construction
+            return jnp.exp(e * jnp.log(jnp.maximum(one_minus_c, 1e-30)))
+
+        def seg_params(off):
+            """Params at a (dynamic) sample offset."""
+            off = jnp.clip(off, 0, B - 1).astype(jnp.int32)
+            return {k: jnp.take(v, off, axis=0) for k, v in ins.items()}
+
+        def consts(p):
+            a_n, d_n, r_n, a_c, d_c = _cached_steps(
+                {k: jnp.maximum(v, 0.0) if k != "sustain"
+                 else jnp.clip(v, 0.0, 1.0) for k, v in p.items()}, sr.hz)
+            return (a_n.astype(jnp.float32), d_n.astype(jnp.float32),
+                    r_n.astype(jnp.float32), a_c, d_c)
+
+        def seg_levels(st, p, k):
+            """Level after k+1 ticks from segment-start state ``st``
+            (k may be fractional/array; negative masked by caller)."""
+            a_n, d_n, r_n, a_c, d_c = consts(p)
+            sus = jnp.clip(p["sustain"] * st["velocity"], 0.0, 1.0)
+            rem = jnp.maximum(st["rem"].astype(jnp.float32), 0.0)
+            lvl0 = st["level"]
+            kp1 = k + 1.0
+
+            # ATTACK: toward 1, snap at rem; then DECAY for d_n; then SUS
+            att = 1.0 - (1.0 - lvl0) * pw(1.0 - a_c, kp1)
+            att = jnp.where(kp1 >= rem, 1.0, att)
+            u = kp1 - rem  # decay steps after attack end
+            att_dec = sus + (1.0 - sus) * pw(1.0 - d_c, u)
+            att_dec = jnp.where(u >= d_n, sus, att_dec)
+            attack_lv = jnp.where(kp1 <= rem, att,
+                                  jnp.where(u <= d_n, att_dec, sus))
+
+            # DECAY: toward sus, snap at rem; then SUSTAIN
+            dec = sus + (lvl0 - sus) * pw(1.0 - d_c, kp1)
+            decay_lv = jnp.where(kp1 >= rem, sus, dec)
+
+            # RELEASE: linear to 0 over rem; then IDLE
+            rel = lvl0 * jnp.maximum(rem - kp1, 0.0) / jnp.maximum(rem, 1.0)
+            release_lv = jnp.where(kp1 >= rem, 0.0, rel)
+
+            stage = st["stage"]
+            lv = jnp.where(stage == ATTACK, attack_lv,
+                  jnp.where(stage == DECAY, decay_lv,
+                   jnp.where(stage == RELEASE, release_lv,
+                    jnp.where(stage == SUSTAIN, sus, 0.0))))
+            return jnp.clip(lv, 0.0, 1.0)
+
+        def seg_end_state(st, p, n):
+            """State after n ticks (n dynamic scalar >= 0)."""
+            a_n, d_n, r_n, a_c, d_c = consts(p)
+            sus = jnp.clip(p["sustain"] * st["velocity"], 0.0, 1.0)
+            rem = jnp.maximum(st["rem"].astype(jnp.float32), 0.0)
+            nf = n.astype(jnp.float32)
+            lvl_end = jnp.where(nf > 0, seg_levels(st, p, nf - 1.0),
+                                st["level"])
+            stage = st["stage"]
+
+            # stage/rem transitions
+            att_in_attack = nf < rem
+            att_in_decay = jnp.logical_and(nf >= rem, nf - rem < d_n)
+            new_stage = jnp.where(
+                stage == ATTACK,
+                jnp.where(att_in_attack, ATTACK,
+                          jnp.where(att_in_decay, DECAY, SUSTAIN)),
+                jnp.where(
+                    stage == DECAY,
+                    jnp.where(nf < rem, DECAY, SUSTAIN),
+                    jnp.where(stage == RELEASE,
+                              jnp.where(nf < rem, RELEASE, IDLE),
+                              stage))).astype(jnp.int32)
+            new_rem = jnp.where(
+                stage == ATTACK,
+                jnp.where(att_in_attack, rem - nf,
+                          jnp.where(att_in_decay, d_n - (nf - rem), 0.0)),
+                jnp.where(jnp.logical_or(stage == DECAY, stage == RELEASE),
+                          jnp.maximum(rem - nf, 0.0),
+                          0.0)).astype(jnp.int32)
+            new_state = {**st, "stage": new_stage, "rem": new_rem,
+                         "level": lvl_end,
+                         "sustain_level": sus,
+                         "target": jnp.where(
+                             new_stage == RELEASE, 0.0,
+                             jnp.where(new_stage >= DECAY, sus,
+                                       st["target"]))}
+            new_state["release_inc"] = _release_increment(
+                new_stage, new_state["rem"], lvl_end)
+            return _sel(n > 0, new_state, st)
+
+        levels = jnp.zeros((B,), jnp.float32)
+        st = state
+        start = jnp.int32(0)
+        for j in range(k_events + 1):
+            if j < k_events:
+                valid_j = buf.valid[..., j]
+                end = jnp.where(valid_j,
+                                jnp.clip(buf.offsets[..., j], 0, B),
+                                B).astype(jnp.int32)
+            else:
+                end = jnp.int32(B)
+            p = seg_params(start)
+            k_rel = t_idx - start.astype(jnp.float32)
+            lv = seg_levels(st, p, k_rel)
+            mask = jnp.logical_and(t_idx >= start, t_idx < end)
+            levels = jnp.where(mask, lv, levels)
+            st = seg_end_state(st, p, (end - start).astype(jnp.int32))
+            if j < k_events:
+                p_ev = seg_params(end)
+                fired = jnp.logical_and(buf.valid[..., j],
+                                        buf.offsets[..., j] < B)
+                st = _sel(fired,
+                          self.on_gate(st, buf.values[..., j],
+                                       sr, p_ev), st)
+                start = end
+        return st, {"output": levels}
+
+
 def _sel(pred, a, b):
     import jax
     def s(x, y):

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..core.types import SampleRate, stream, value
 from ..graph.node import Node
-from ..ops.scan import affine_scan
+from ..ops.scan import affine_scan_2x2
 
 PI = math.pi
 F32_EPS = float(np.finfo(np.float32).eps)
@@ -138,38 +138,21 @@ class TptFilter(Node):
         # y = low = g(1-ghk) z0 + (1-g²h) z1 + g²h x   (from pre-update z)
         gh = g * h
         ghk = gh * k
-        a00 = 1.0 - 2.0 * ghk
-        a01 = -2.0 * gh
-        a10 = 2.0 * g * (1.0 - ghk)
-        a11 = 1.0 - 2.0 * g * gh
-        b0 = 2.0 * gh * x
-        b1 = 2.0 * g * gh * x
-
-        def pack(a00, a01, a10, a11):
-            row0 = jnp.stack([a00 + jnp.zeros_like(b0),
-                              a01 + jnp.zeros_like(b0)], axis=-1)
-            row1 = jnp.stack([a10 + jnp.zeros_like(b0),
-                              a11 + jnp.zeros_like(b0)], axis=-1)
-            return jnp.stack([row0, row1], axis=-2)
-
-        A = pack(a00, a01, a10, a11)            # [B,(C,)2,2]
-        b = jnp.stack([b0, b1], axis=-1)        # [B,(C,)2]
-        z0vec = jnp.stack([state["z0"] + jnp.zeros_like(b0[0]),
-                           state["z1"] + jnp.zeros_like(b0[0])], axis=-1)
-        if self.channels > 1:
-            # affine_scan works on trailing (..., S, S)/(..., S); move C in.
-            z = affine_scan(A, b, z0vec)
-        else:
-            z = affine_scan(A, b, z0vec)
-        z_prev = jnp.concatenate(
-            [jnp.broadcast_to(z0vec, z[:1].shape), z[:-1]], axis=0)
-        y = (g * (1.0 - ghk)) * z_prev[..., 0] + \
-            (1.0 - g * gh) * z_prev[..., 1] + (g * gh) * x
+        z0c = state["z0"] + jnp.zeros_like(x[0])
+        z1c = state["z1"] + jnp.zeros_like(x[0])
+        z0s, z1s = affine_scan_2x2(
+            1.0 - 2.0 * ghk, -2.0 * gh,
+            2.0 * g * (1.0 - ghk), 1.0 - 2.0 * g * gh,
+            2.0 * gh * x, 2.0 * g * gh * x, z0c, z1c)
+        z0_prev = jnp.concatenate([z0c[None], z0s[:-1]], axis=0)
+        z1_prev = jnp.concatenate([z1c[None], z1s[:-1]], axis=0)
+        y = (g * (1.0 - ghk)) * z0_prev + (1.0 - g * gh) * z1_prev \
+            + (g * gh) * x
 
         new_state = {**{k2: (v[-1] if k2 in ("current_cutoff", "current_q",
                                              "h", "g", "r", "k") else v)
                         for k2, v in st.items()},
-                     "z0": z[-1, ..., 0], "z1": z[-1, ..., 1]}
+                     "z0": z0s[-1], "z1": z1s[-1]}
         return new_state, {"output": y}
 
 
@@ -263,20 +246,17 @@ class IirLowpass(Node):
         # out = b0 x + v1
         # v1' = -a1 v1 + v2 + (b1 - a1 b0) x
         # v2' = -a2 v1 +      (b2 - a2 b0) x
-        zeros = jnp.zeros_like(x)
-        A = jnp.stack([
-            jnp.stack([-a1, jnp.ones_like(x)], axis=-1),
-            jnp.stack([-a2, zeros], axis=-1)], axis=-2)
-        b = jnp.stack([(b1 - a1 * b0) * x, (b2 - a2 * b0) * x], axis=-1)
-        v0 = jnp.stack([state["v1"], state["v2"]], axis=-1)
-        v = affine_scan(A, b, v0)
-        v_prev = jnp.concatenate([v0[None, :], v[:-1]], axis=0)
-        out = b0 * x + v_prev[..., 0]
+        v1s, v2s = affine_scan_2x2(
+            -a1, jnp.ones_like(x), -a2, jnp.zeros_like(x),
+            (b1 - a1 * b0) * x, (b2 - a2 * b0) * x,
+            state["v1"], state["v2"])
+        v1_prev = jnp.concatenate([state["v1"][None], v1s[:-1]], axis=0)
+        out = b0 * x + v1_prev
         counter_next = (state["frame_counter"] + block_len) \
             % self.FRAMES_PER_UPDATE
         return ({"b0": b0[-1], "b1": b1[-1], "b2": b2[-1],
                  "a1": a1[-1], "a2": a2[-1],
-                 "v1": v[-1, 0], "v2": v[-1, 1],
+                 "v1": v1s[-1], "v2": v2s[-1],
                  "frame_counter": jnp.int32(counter_next)},
                 {"output": out})
 

@@ -46,6 +46,34 @@ def affine_scan(A, b, z0):
     return z
 
 
+def affine_scan_2x2(a00, a01, a10, a11, b0, b1, z0, z1):
+    """Specialized 2-state affine scan with the 2x2 composition unrolled
+    into elementwise VPU ops (a batched [B,...,2,2] matmul lowers to an
+    awkward tiny dot_general on TPU; this form stays fully elementwise).
+
+    Solves z[t] = A[t] z[t-1] + b[t]; returns (z0s, z1s) with the state
+    *after* each step.  All args broadcast over trailing dims.
+    """
+    ones = jnp.ones_like(b0)
+    A = (a00 * ones, a01 * ones, a10 * ones, a11 * ones)
+
+    def combine(left, right):
+        l00, l01, l10, l11, lb0, lb1 = left
+        r00, r01, r10, r11, rb0, rb1 = right
+        # A = R @ L ; b = R @ lb + rb
+        return (r00 * l00 + r01 * l10,
+                r00 * l01 + r01 * l11,
+                r10 * l00 + r11 * l10,
+                r10 * l01 + r11 * l11,
+                r00 * lb0 + r01 * lb1 + rb0,
+                r10 * lb0 + r11 * lb1 + rb1)
+
+    c00, c01, c10, c11, cb0, cb1 = jax.lax.associative_scan(
+        combine, (*A, b0, b1), axis=0)
+    return (c00 * z0 + c01 * z1 + cb0,
+            c10 * z0 + c11 * z1 + cb1)
+
+
 def affine_scan_scalar(a, b, z0):
     """Scalar special case: ``z[t] = a[t] * z[t-1] + b[t]``.
 
