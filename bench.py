@@ -1,8 +1,9 @@
-"""Benchmark: polyphonic synth real-time factor on one TPU chip.
+"""Benchmark: 256-voice electric piano real-time factor on one TPU chip.
 
-Renders the flagship polyphonic synth (256 voices: PolyBLEP saw → TPT
-filter, ADSR VCA, voice-allocated MIDI chord) and reports rendered audio
-throughput as a multiple of real time at 48 kHz.
+Renders the flagship electric-piano model (the reference's headline
+example at 16 voices on CPU, here 256 voices batched on the chip: MIDI →
+voice allocator → per-voice 32-harmonic additive voices → stereo tremolo)
+and reports rendered audio throughput as a multiple of real time at 48 kHz.
 
 Baseline: the reference publishes no numbers (BASELINE.md); the north-star
 target is >= 1000x real time per chip for 256 voices, so
@@ -21,6 +22,7 @@ import numpy as np
 def main():
     import jax
 
+    from oscen_tpu.models.electric_piano import build_electric_piano
     from oscen_tpu.models.poly_synth import build_poly_synth
     from oscen_tpu import raw_midi_event
 
@@ -28,12 +30,21 @@ def main():
     SR = 48_000.0
     BLOCK = 512
     mode = "block"
+    model = "electric_piano"
     for a in sys.argv[1:]:
         if a.startswith("--mode="):
             mode = a.split("=", 1)[1]
+        if a.startswith("--model="):
+            model = a.split("=", 1)[1]
 
-    g = build_poly_synth(NUM_VOICES)
+    if model == "electric_piano":
+        g = build_electric_piano(NUM_VOICES)
+    else:
+        g = build_poly_synth(NUM_VOICES)
     synth = g.compile(sample_rate=SR, block_size=BLOCK, mode=mode)
+
+    def audio_of(outs):
+        return next(v for v in outs.values() if hasattr(v, "shape"))
 
     # strike a large chord so every voice is active
     for i in range(NUM_VOICES):
@@ -41,20 +52,20 @@ def main():
                                                         100]))
     # first block carries the events; steady-state rendering follows
     out = synth.process_block()
-    jax.block_until_ready(out["audio_out"])
+    jax.block_until_ready(audio_of(out))
 
     n_blocks = 256
     out = synth.render_steady(n_blocks)  # warmup/compile
-    jax.block_until_ready(out["audio_out"])
+    jax.block_until_ready(audio_of(out))
     t0 = time.perf_counter()
     out = synth.render_steady(n_blocks)
-    jax.block_until_ready(out["audio_out"])
+    jax.block_until_ready(audio_of(out))
     dt = time.perf_counter() - t0
 
     frames = n_blocks * BLOCK
     rtf = (frames / SR) / dt  # x real time
     result = {
-        "metric": f"poly_synth_{NUM_VOICES}v_rtf_48k",
+        "metric": f"{model}_{NUM_VOICES}v_rtf_48k",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 1000.0, 4),

@@ -155,6 +155,41 @@ def make_block_fn(prog, block_len: int):
                 return v
             return resolve
 
+        def _payload_shape(ep):
+            return ep.shape if ep.shape else (
+                () if ep.channels == 1 else (ep.channels,))
+
+        def _normalize(v, count, B, payload):
+            """Normalize an evaluated edge value to the destination's
+            block shape ((C,)? , B, *payload).  Missing axes are resolved
+            by payload tail-matching: payload dims align at the end,
+            time/instance axes are prepended."""
+            target = ((count,) if count > 1 else ()) + (B,) + payload
+            v = jnp.asarray(v)
+            while v.ndim < len(target):
+                tail = target[len(target) - v.ndim:] if v.ndim else ()
+                compatible = all(
+                    s == t_ or s == 1
+                    for s, t_ in zip(v.shape, tail)) if v.ndim else False
+                if compatible:
+                    v = v[None]          # prepend time/instance axis
+                else:
+                    v = v[..., None]     # broadcast into payload dims
+            return jnp.broadcast_to(v, target)
+
+        def _edge_value(e, inst, ep, resolve, indexed: bool):
+            """Evaluate one edge and normalize it for its destination
+            (FAN_IN summing + parallel truncation + broadcast)."""
+            v = prog.eval_expr(e.source, resolve(e))
+            if e.fanout == Fanout.FAN_IN and e.dst_index is None:
+                v = jnp.sum(v, axis=0)  # instance axis leads by convention
+            count = 1 if indexed else inst.count
+            payload = _payload_shape(ep)
+            if count > 1 and e.fanout == Fanout.PARALLEL \
+                    and jnp.ndim(v) >= 1 and v.shape[0] not in (count, B):
+                v = v[:count]
+            return _normalize(v, count, B, payload)
+
         def gather_block(name: str) -> Dict[str, Any]:
             inst = ir.nodes[name]
             ins: Dict[str, Any] = {}
@@ -164,8 +199,8 @@ def make_block_fn(prog, block_len: int):
                 edges = prog.edges_by_dst.get((name, ep.name), [])
                 val = None
                 for e in edges:
-                    v = prog.eval_expr(e.source, resolve_block(e))
-                    v = _shape_for_dst(v, e, inst, ep, B)
+                    v = _edge_value(e, inst, ep, resolve_block,
+                                    e.dst_index is not None)
                     if e.dst_index is not None:
                         base = val if val is not None else \
                             _default_block(inst, ep, B)
@@ -179,26 +214,9 @@ def make_block_fn(prog, block_len: int):
                 ins[ep.name] = val
             return ins
 
-        def _shape_for_dst(v, e, inst, ep, B):
-            """Normalize an evaluated source to the destination's block
-            convention ([B,...] scalar / [C,B,...] array)."""
-            if e.fanout == Fanout.FAN_IN and e.dst_index is None:
-                # FAN_IN sources carry the instance axis first: sum it
-                v = jnp.sum(v, axis=0)
-            count = inst.count
-            if count > 1 and e.dst_index is None:
-                # need [C, B, ...]
-                if jnp.ndim(v) == 0 or (jnp.ndim(v) >= 1
-                                        and v.shape[0] == B):
-                    v = jnp.broadcast_to(v, (count,) + jnp.shape(v))
-                elif v.shape[0] != count:
-                    v = v[:count]
-            return v
-
         def _default_block(inst, ep, B):
-            shape = ep.shape if ep.shape else (
-                () if ep.channels == 1 else (ep.channels,))
-            full = ((inst.count,) if inst.count > 1 else ()) + (B,) + shape
+            full = ((inst.count,) if inst.count > 1 else ()) + (B,) \
+                + _payload_shape(ep)
             return jnp.full(full, float(ep.default or 0.0), jnp.float32)
 
         # -------------------------------------------------------------- #
@@ -233,7 +251,8 @@ def make_block_fn(prog, block_len: int):
                 island_set = set(island)
 
                 # inputs feeding the island from outside: evaluate whole
-                # blocks now, slice per sample inside the scan
+                # blocks now (fully fanout-normalized), slice per sample
+                # inside the scan
                 ext_inputs: Dict[Tuple[str, str, int], Any] = {}
                 for name in island:
                     inst = ir.nodes[name]
@@ -246,8 +265,12 @@ def make_block_fn(prog, block_len: int):
                                          e.source.endpoints() if r.node}
                             if src_nodes & island_set:
                                 continue  # internal edge
-                            v = prog.eval_expr(e.source, resolve_block(e))
-                            ext_inputs[(name, ep.name, j)] = v
+                            v = _edge_value(e, inst, ep, resolve_block,
+                                            e.dst_index is not None)
+                            taxis = 1 if (inst.count > 1
+                                          and e.dst_index is None) else 0
+                            ext_inputs[(name, ep.name, j)] = \
+                                jnp.moveaxis(v, taxis, 0) if taxis else v
 
                 island_state = {n: new_state[n] for n in island}
                 fb_keys_here = [
@@ -308,30 +331,28 @@ def make_block_fn(prog, block_len: int):
                             val = None
                             for j, e in enumerate(edges):
                                 if (name, ep.name, j) in ext_t:
+                                    # pre-normalized whole-block value
                                     v = ext_t[(name, ep.name, j)]
                                 else:
                                     v = prog.eval_expr(
                                         e.source, resolve_t(e))
-                                if e.fanout == Fanout.FAN_IN \
-                                        and e.dst_index is None:
-                                    v = jnp.sum(v, axis=0)
+                                    if e.fanout == Fanout.FAN_IN \
+                                            and e.dst_index is None:
+                                        v = jnp.sum(v, axis=0)
+                                    if inst.count > 1 \
+                                            and e.dst_index is None \
+                                            and e.fanout in (
+                                                Fanout.SCALAR,
+                                                Fanout.BROADCAST):
+                                        v = prog._broadcast_to_count(
+                                            v, inst.count, ep)
                                 if e.dst_index is not None:
                                     base = val if val is not None else \
                                         prog._default_value(inst, ep)
                                     val = base.at[e.dst_index].set(v)
                                 elif val is None:
-                                    if inst.count > 1 and e.fanout in (
-                                            Fanout.SCALAR,
-                                            Fanout.BROADCAST):
-                                        v = prog._broadcast_to_count(
-                                            v, inst.count, ep)
                                     val = v
                                 else:
-                                    if inst.count > 1 and e.fanout in (
-                                            Fanout.SCALAR,
-                                            Fanout.BROADCAST):
-                                        v = prog._broadcast_to_count(
-                                            v, inst.count, ep)
                                     val = val + v
                             if val is None:
                                 val = prog._default_value(inst, ep)
@@ -366,15 +387,8 @@ def make_block_fn(prog, block_len: int):
                     out_t = {f"{n}.{k}": v for (n, k), v in env_t.items()}
                     return (new_ist,), out_t
 
-                # slice external blocks per sample: time axis is 0 for
-                # scalar-shaped blocks, else instance-leading -> move time
-                # to front for the scan xs
-                ext_scan = {}
-                for key, v in ext_inputs.items():
-                    taxis = 0 if (jnp.ndim(v) >= 1 and v.shape[0] == B) \
-                        else 1
-                    ext_scan[key] = jnp.moveaxis(v, taxis, 0) \
-                        if taxis != 0 else v
+                # ext blocks already have time leading for the scan xs
+                ext_scan = ext_inputs
                 ts = jnp.arange(B, dtype=jnp.int32)
                 (island_state,), outs_t = jax.lax.scan(
                     island_step, (island_state,), (ts, ext_scan))
@@ -402,6 +416,8 @@ def make_block_fn(prog, block_len: int):
         # graph outputs
         outs = {}
         for o in ir.outputs:
+            if o.kind == Kind.EVENT:
+                continue  # event outputs are routed host-side
             expr = ir.output_edges.get(o.name)
             if expr is None:
                 shape = (B,) if o.channels == 1 else (B, o.channels)

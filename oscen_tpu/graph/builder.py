@@ -128,18 +128,20 @@ class Graph:
         self._outputs.append(GraphOutput(name, kind, channels))
         return name
 
-    def add(self, name: str, node: Node, count: int = 1,
+    def add(self, name: str, node, count: int = 1,
             rate: int = 1) -> NodeRef:
-        """Declare a node: ``name = Ctor`` / ``[Ctor; count]`` / ``* rate``."""
+        """Declare a node: ``name = Ctor`` / ``[Ctor; count]`` / ``* rate``.
+        ``node`` may be another :class:`Graph` (nested graphs, reference
+        tests/nested_graph_test.rs) — it is inlined at lowering with
+        prefixed names and composed counts/rates."""
         if name in self._nodes or any(i.name == name for i in self._inputs):
             raise GraphError(f"duplicate node name '{name}'")
         if rate not in (1, 2, 4, 8):
             raise GraphError(f"node rate must be 1, 2, 4 or 8 (got {rate})")
-        if isinstance(node, Graph):
-            node = node.as_node()
-        if not isinstance(node, Node):
+        if not isinstance(node, (Node, Graph)):
             raise GraphError(
-                f"'{name}' is not a Node (got {type(node).__name__})")
+                f"'{name}' is not a Node or Graph "
+                f"(got {type(node).__name__})")
         self._nodes[name] = IrNodeInst(name, node, int(count), int(rate))
         return NodeRef(self, name)
 
@@ -200,15 +202,205 @@ class Graph:
         if node not in self._nodes:
             raise GraphError(f"unknown node '{node}'")
         n = self._nodes[node].node
+        if isinstance(n, Graph):
+            if not (any(i.name == endpoint for i in n._inputs)
+                    or any(o.name == endpoint for o in n._outputs)):
+                raise GraphError(
+                    f"subgraph '{node}' ({n.name}) has no input/output "
+                    f"'{endpoint}'")
+            return
         if not (n.has_input(endpoint) or n.has_output(endpoint)):
             raise GraphError(
                 f"node '{node}' ({type(n).__name__}) has no endpoint "
                 f"'{endpoint}'")
 
     # ------------------------------------------------------------------ #
+    # subgraph flattening (nested graphs)
+    # ------------------------------------------------------------------ #
+    def _flatten(self) -> "Graph":
+        """Inline nested Graph nodes: prefixed inner nodes, composed
+        counts/rates, graph-input substitution, output-expression
+        inlining.  Semantically equivalent to the reference's nested
+        generated structs (the inner schedule is a straight inline of the
+        same dataflow)."""
+        subs = {n: i for n, i in self._nodes.items()
+                if isinstance(i.node, Graph)}
+        if not subs:
+            return self
+
+        sub_flat: Dict[str, Graph] = {
+            n: i.node._flatten() for n, i in subs.items()}
+
+        f = Graph(self.name)
+        f._inputs = list(self._inputs)
+        f._outputs = list(self._outputs)
+
+        # nodes
+        for name, inst in self._nodes.items():
+            if name in subs:
+                sub = sub_flat[name]
+                for iname, iinst in sub._nodes.items():
+                    if inst.count > 1 and iinst.count > 1:
+                        raise GraphError(
+                            f"node array '{iname}' inside array subgraph "
+                            f"'{name}' is unsupported")
+                    rate = inst.rate * iinst.rate
+                    if rate not in (1, 2, 4, 8):
+                        raise GraphError(
+                            f"composed rate {rate}x on '{name}.{iname}' "
+                            f"out of range")
+                    f._nodes[f"{name}.{iname}"] = IrNodeInst(
+                        f"{name}.{iname}", iinst.node,
+                        inst.count * iinst.count, rate)
+            else:
+                f._nodes[name] = IrNodeInst(name, inst.node, inst.count,
+                                            inst.rate)
+
+        def sub_input(sub_name: str, in_name: str) -> GraphInput:
+            return sub_flat[sub_name].get_input_decl(in_name)
+
+        def sub_output_expr(sub_name: str, out_name: str) -> Expr:
+            sub = sub_flat[sub_name]
+            srcs = [s["src"] for s in sub._connections
+                    if isinstance(s["dst"], tuple)
+                    and s["dst"][1] == out_name]
+            if not srcs:
+                return Const(0.0)
+            expr = srcs[0]
+            for s in srcs[1:]:
+                expr = BinOp("+", expr, s)
+            return expr
+
+        # outer stmts targeting subgraph inputs
+        outer_into: Dict[tuple, list] = {}
+        passthrough: List[dict] = []
+        for stmt in self._connections:
+            dst = stmt["dst"]
+            if isinstance(dst, EndpointRef) and dst.node in subs:
+                if stmt.get("via") is not None:
+                    raise GraphError(
+                        "delay vias into subgraph inputs are unsupported")
+                outer_into.setdefault(
+                    (dst.node, dst.endpoint), []).append(stmt)
+            else:
+                passthrough.append(stmt)
+
+        _inlining: set = set()
+
+        def subst_input(sub_name: str, in_name: str) -> Expr:
+            stmts = outer_into.get((sub_name, in_name), [])
+            if not stmts:
+                gi = sub_input(sub_name, in_name)
+                return Const(float(gi.default or 0.0))
+            expr = None
+            for s in stmts:
+                e = rewrite(s["src"], None)
+                expr = e if expr is None else BinOp("+", expr, e)
+            return expr
+
+        def rewrite(expr: Expr, ctx: Optional[str]) -> Expr:
+            """Rewrite an expression; ``ctx`` names the subgraph whose
+            internal namespace ``expr`` lives in (None = outer)."""
+            if isinstance(expr, Const):
+                return expr
+            if isinstance(expr, BinOp):
+                return BinOp(expr.op, rewrite(expr.lhs, ctx),
+                             rewrite(expr.rhs, ctx))
+            if isinstance(expr, Call):
+                return Call(expr.fn, tuple(rewrite(a, ctx)
+                                           for a in expr.args))
+            if isinstance(expr, FrameCtor):
+                return FrameCtor(tuple(rewrite(c, ctx)
+                                       for c in expr.channels))
+            assert isinstance(expr, EndpointRef)
+            ref = expr
+            if ctx is not None:
+                if ref.node == "":
+                    # inner graph-input reference -> outer substitution
+                    base = subst_input(ctx, ref.endpoint)
+                    return _apply_index_channel(base, ref.index,
+                                                ref.channel)
+                return EndpointRef(f"{ctx}.{ref.node}", ref.endpoint,
+                                   ref.index, ref.channel)
+            if ref.node in subs:
+                # outer read of a subgraph output -> inline its expr
+                key = (ref.node, ref.endpoint)
+                if key in _inlining:
+                    raise GraphError(
+                        f"cyclic subgraph output reference through "
+                        f"{ref.node}.{ref.endpoint}")
+                _inlining.add(key)
+                try:
+                    e = rewrite(sub_output_expr(ref.node, ref.endpoint),
+                                ref.node)
+                finally:
+                    _inlining.discard(key)
+                return _apply_index_channel(e, ref.index, ref.channel)
+            return ref
+
+        def _apply_index_channel(e: Expr, index, channel) -> Expr:
+            if index is None and channel is None:
+                return e
+            if isinstance(e, EndpointRef):
+                return EndpointRef(
+                    e.node, e.endpoint,
+                    index if e.index is None else e.index,
+                    channel if e.channel is None else e.channel)
+            raise GraphError(
+                "cannot index/channel-extract a compound subgraph "
+                "output expression")
+
+        def input_kind(sub_name: str, in_name: str) -> Kind:
+            return sub_input(sub_name, in_name).kind
+
+        # emit outer passthrough stmts (sources rewritten)
+        for stmt in passthrough:
+            f._connections.append({**stmt, "src": rewrite(stmt["src"],
+                                                          None)})
+
+        # emit inner stmts (prefixed; graph inputs substituted)
+        for sub_name in subs:
+            sub = sub_flat[sub_name]
+            for istmt in sub._connections:
+                dst = istmt["dst"]
+                if isinstance(dst, tuple):
+                    continue  # inner graph-output assignment: inlined
+                new_dst = EndpointRef(f"{sub_name}.{dst.node}",
+                                      dst.endpoint, dst.index, dst.channel)
+                src = istmt["src"]
+                via = istmt.get("via")
+                if isinstance(via, str):
+                    via = f"{sub_name}.{via}"
+                if isinstance(src, EndpointRef) and src.node == "" \
+                        and input_kind(sub_name, src.endpoint) == Kind.EVENT:
+                    # event routing: one edge per outer event source
+                    for ostmt in outer_into.get(
+                            (sub_name, src.endpoint), []):
+                        f._connections.append({
+                            "src": rewrite(ostmt["src"], None),
+                            "dst": new_dst, "policy": ostmt["policy"],
+                            "via": None,
+                            "feedback": istmt.get("feedback", False)})
+                else:
+                    f._connections.append({
+                        "src": rewrite(src, sub_name), "dst": new_dst,
+                        "policy": istmt["policy"], "via": via,
+                        "feedback": istmt.get("feedback", False)})
+        return f
+
+    def get_input_decl(self, name: str) -> GraphInput:
+        for i in self._inputs:
+            if i.name == name:
+                return i
+        raise GraphError(f"{self.name} has no input '{name}'")
+
+    # ------------------------------------------------------------------ #
     # lowering
     # ------------------------------------------------------------------ #
     def lower(self) -> IrGraph:
+        flat = self._flatten()
+        if flat is not self:
+            return flat.lower()
         ir = IrGraph(self.name)
         ir.inputs = list(self._inputs)
         ir.outputs = list(self._outputs)
@@ -478,12 +670,6 @@ class Graph:
         ir = self.lower()
         return CompiledGraph(ir, sample_rate=sample_rate,
                              block_size=block_size, mode=mode, jit=jit)
-
-    def as_node(self):
-        """Use this graph as a node inside another graph (nested graphs,
-        reference tests/nested_graph_test.rs)."""
-        from .subgraph import GraphNode
-        return GraphNode(self)
 
     def param_specs(self) -> Dict[str, ParamSpec]:
         """The ``nih_params`` equivalent: export value-input specs."""

@@ -306,6 +306,8 @@ class _SampleStep:
 
         outs = {}
         for o_ in ir.outputs:
+            if o_.kind == Kind.EVENT:
+                continue  # event outputs are routed host-side
             expr = ir.output_edges.get(o_.name)
             if expr is None:
                 continue
@@ -318,7 +320,7 @@ class _SampleStep:
                 v = jnp.sum(v, axis=0)
             outs[o_.name] = v
         for o in ir.outputs:
-            if o.name not in outs:
+            if o.kind != Kind.EVENT and o.name not in outs:
                 shape = () if o.channels == 1 else (o.channels,)
                 outs[o.name] = jnp.zeros(shape, jnp.float32)
         return new_state, outs
@@ -543,6 +545,18 @@ class CompiledGraph:
 
         host_vals = {f"__host__{n}.{ep}": arr
                      for (n, ep), arr in val_env.items()}
+
+        # graph event outputs (routed host-side)
+        self._last_event_outs = {}
+        for o in ir.outputs:
+            if o.kind != Kind.EVENT:
+                continue
+            expr = ir.output_edges.get(o.name)
+            if isinstance(expr, EndpointRef):
+                self._last_event_outs[o.name] = list(
+                    ev_env.get((expr.node, expr.endpoint), []))
+            else:
+                self._last_event_outs[o.name] = []
         return ev_bufs, host_vals
 
     # ------------------------------------------------------------------ #
@@ -607,6 +621,8 @@ class CompiledGraph:
                                for k, v in ev_bufs.items()))
         fn = self._get_block_fn(B, ev_caps, tuple(sorted(per_block)))
         self.state, outs = fn(self.state, per_block, ev_bufs)
+        outs = dict(outs)
+        outs.update(getattr(self, "_last_event_outs", {}))
         return outs
 
     # ------------------------------------------------------------------ #
@@ -629,6 +645,8 @@ class CompiledGraph:
             pos += n
         out: Dict[str, np.ndarray] = {}
         for o in self.ir.outputs:
+            if o.kind == Kind.EVENT:
+                continue
             out[o.name] = np.concatenate(
                 [np.asarray(c[o.name]) for c in chunks], axis=0)[:total]
         return out

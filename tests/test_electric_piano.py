@@ -1,0 +1,122 @@
+"""Electric piano model: nested-graph flattening, additive voice behavior,
+mode equivalence, stereo tremolo output.
+
+Mirrors: nested graph semantics (reference tests/nested_graph_test.rs),
+the electric-piano voice (electric_piano_voice.rs) and main graph
+(examples/electric-piano/src/main.rs:33-97).
+"""
+
+import numpy as np
+import pytest
+
+from oscen_tpu import Gain, Graph, Oscillator, raw_midi_event
+from oscen_tpu.models.electric_piano import build_electric_piano, build_voice
+
+
+def test_nested_graph_flattening():
+    """A subgraph inlines: inner nodes prefixed, inputs substituted,
+    outputs inlined."""
+    inner = Graph("Inner")
+    inner.input("freq", "value", default=220.0)
+    inner.output("out", "stream")
+    osc = inner.add("osc", Oscillator.sine(220.0, 1.0))
+    inner.connect("freq", osc.frequency)
+    inner.connect(osc.output, "out")
+
+    outer = Graph("Outer")
+    outer.input("f", "value", default=220.0)
+    outer.output("y", "stream")
+    sub = outer.add("sub", inner)
+    gn = outer.add("g", Gain(0.5))
+    outer.connect("f", sub.freq)
+    outer.connect(sub.out, gn.input)
+    outer.connect(gn.output, "y")
+
+    ir = outer.lower()
+    assert "sub.osc" in ir.nodes
+    c = outer.compile(48000.0, block_size=64)
+    out = c.render_mono(64)
+
+    ref = Graph("Ref")
+    ref.output("y", "stream")
+    o2 = ref.add("o", Oscillator.sine(220.0, 0.5))
+    ref.connect(o2.output, "y")
+    expected = ref.compile(48000.0, block_size=64).render_mono(64)
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_voice_produces_harmonics():
+    g = Graph("V")
+    g.input("gate", "event")
+    g.input("frequency", "value", default=440.0)
+    g.output("out", "stream")
+    v = g.add("voice", build_voice())
+    g.connect("gate", v.gate)
+    g.connect("frequency", v.frequency)
+    g.connect(v.output, "out")
+    c = g.compile(48000.0, block_size=480)
+    c.queue_event("gate", 0, 1.0)
+    out = c.render_mono(4800)
+    assert np.all(np.isfinite(out))
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    freqs = np.fft.rfftfreq(len(out), 1 / 48000.0)
+    f1 = spec[(freqs > 420) & (freqs < 460)].max()
+    f2 = spec[(freqs > 860) & (freqs < 900)].max()   # 2nd harmonic
+    noise = spec[(freqs > 15000)].max()
+    assert f1 > 20 * noise and f2 > 20 * noise
+    # electric-piano spectrum: 2nd harmonic stronger than fundamental
+    assert f2 > f1
+
+
+def test_voice_decays_and_releases():
+    g = Graph("V")
+    g.input("gate", "event")
+    g.output("out", "stream")
+    v = g.add("voice", build_voice())
+    g.connect("gate", v.gate)
+    g.connect(v.output, "out")
+    c = g.compile(48000.0, block_size=480)
+    c.queue_event("gate", 0, 1.0)
+    a = c.render_mono(4800)
+    early = np.abs(a[:480]).max()
+    # held note decays slowly
+    later = np.abs(a[-480:]).max()
+    assert later < early
+    c.queue_event("gate", 0, 0.0)
+    b = c.render_mono(48000)
+    assert np.abs(b[-4800:]).max() < 0.01 * early
+
+
+def test_electric_piano_chord_stereo():
+    p = build_electric_piano(16).compile(48000.0, block_size=480)
+    for note in (60, 64, 67):
+        p.queue_event("midi_in", 0, raw_midi_event([0x90, note, 100]))
+    outs = p.process_block()
+    audio = np.asarray(outs["out"])
+    assert audio.shape == (480, 2)
+    assert np.all(np.isfinite(audio))
+    # event outputs forwarded (note_on_out)
+    assert len(outs["note_on_out"]) == 3
+    # renders audible stereo audio
+    more = p.render(4800)["out"]
+    assert np.abs(more).max() > 0.01
+    # tremolo pans: channels differ
+    assert np.abs(more[:, 0] - more[:, 1]).max() > 1e-4
+
+
+def test_electric_piano_modes_agree():
+    def run(mode):
+        p = build_electric_piano(4).compile(48000.0, block_size=256,
+                                            mode=mode)
+        p.queue_event("midi_in", 10, raw_midi_event([0x90, 60, 100]))
+        p.queue_event("midi_in", 100, raw_midi_event([0x90, 64, 90]))
+        blocks = [np.asarray(p.process_block()["out"])]
+        p.queue_event("midi_in", 0, raw_midi_event([0x80, 60, 0]))
+        blocks += [np.asarray(p.process_block()["out"])
+                   for _ in range(3)]
+        return np.concatenate(blocks)
+
+    a = run("sample")
+    b = run("block")
+    rms = np.sqrt(np.mean((a - b) ** 2))
+    assert rms < 2e-3, rms
