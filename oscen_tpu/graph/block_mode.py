@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..core.events import EventBuffer
 from ..core.types import Kind
-from .ir import Const, EndpointRef, Fanout, IrEdge
+from .ir import Const, EdgeKernel, EndpointRef, Fanout, IrEdge
 
 __all__ = ["make_block_fn"]
 
@@ -179,16 +179,32 @@ def make_block_fn(prog, block_len: int):
 
         def _edge_value(e, inst, ep, resolve, indexed: bool):
             """Evaluate one edge and normalize it for its destination
-            (FAN_IN summing + parallel truncation + broadcast)."""
+            (FAN_IN summing + parallel truncation + broadcast + cross-rate
+            resampling with carried kernel state)."""
             v = prog.eval_expr(e.source, resolve(e))
             if e.fanout == Fanout.FAN_IN and e.dst_index is None:
                 v = jnp.sum(v, axis=0)  # instance axis leads by convention
             count = 1 if indexed else inst.count
             payload = _payload_shape(ep)
+            src_rate = inst.rate if e.kernel == EdgeKernel.NONE else (
+                1 if e.kernel == EdgeKernel.UP else e.rate_factor)
+            Bsrc = B * src_rate
             if count > 1 and e.fanout == Fanout.PARALLEL \
-                    and jnp.ndim(v) >= 1 and v.shape[0] not in (count, B):
+                    and jnp.ndim(v) >= 1 \
+                    and v.shape[0] not in (count, Bsrc):
                 v = v[:count]
-            return _normalize(v, count, B, payload)
+            v = _normalize(v, count, Bsrc, payload)
+            if e.kernel in (EdgeKernel.UP, EdgeKernel.DOWN):
+                idx = prog.edge_ids[id(e)]
+                kern = prog.resamplers[idx]
+                if count > 1:
+                    v = jnp.moveaxis(v, 0, -1)  # [Bsrc, *payload, C]
+                st, v = kern.process_block(
+                    new_state["__rs__"][str(idx)], v)
+                new_state["__rs__"][str(idx)] = st
+                if count > 1:
+                    v = jnp.moveaxis(v, -1, 0)
+            return v
 
         def gather_block(name: str) -> Dict[str, Any]:
             inst = ir.nodes[name]
@@ -215,8 +231,8 @@ def make_block_fn(prog, block_len: int):
             return ins
 
         def _default_block(inst, ep, B):
-            full = ((inst.count,) if inst.count > 1 else ()) + (B,) \
-                + _payload_shape(ep)
+            full = ((inst.count,) if inst.count > 1 else ()) \
+                + (B * inst.rate,) + _payload_shape(ep)
             return jnp.full(full, float(ep.default or 0.0), jnp.float32)
 
         # -------------------------------------------------------------- #
@@ -226,6 +242,7 @@ def make_block_fn(prog, block_len: int):
                 inst = ir.nodes[name]
                 node = inst.node
                 sr = prog.scaled_sr(inst)
+                Bn = B * inst.rate
                 ins = gather_block(name)
                 evs = {ep.name: ev_bufs[f"{name}.{ep.name}"]
                        for ep in node.INPUTS if ep.kind == Kind.EVENT
@@ -235,10 +252,10 @@ def make_block_fn(prog, block_len: int):
                 if inst.count > 1:
                     st, outs = jax.vmap(
                         lambda s, i, ev: node.process_block(
-                            s, i, ev, sr, B),
+                            s, i, ev, sr, Bn),
                         in_axes=(0, 0, 0))(st, ins, evs)
                 else:
-                    st, outs = node.process_block(st, ins, evs, sr, B)
+                    st, outs = node.process_block(st, ins, evs, sr, Bn)
                 new_state[name] = st
                 for k, v in outs.items():
                     if inst.count > 1:
@@ -249,6 +266,11 @@ def make_block_fn(prog, block_len: int):
                 # ---- scan island: per-sample over the component -------
                 island = comp
                 island_set = set(island)
+                if any(ir.nodes[n].rate != 1 for n in island):
+                    raise NotImplementedError(
+                        "oversampled nodes inside feedback islands are "
+                        "unsupported (the reference similarly restricts "
+                        "multirate/feedback interactions)")
 
                 # inputs feeding the island from outside: evaluate whole
                 # blocks now (fully fanout-normalized), slice per sample

@@ -414,12 +414,35 @@ class Graph:
         for e in ir.edges:
             pass  # rate kernels classified in _classify_rates below
 
+        self._synthesize_output_taps(ir)
         self._classify_rates(ir)
         self._infer_fanout(ir)
         self._validate_kinds(ir)
         self._toposort(ir)
         self._dead_nodes(ir)
         return ir
+
+    # ................................................................. #
+    def _synthesize_output_taps(self, ir: IrGraph) -> None:
+        """A graph output fed from an oversampled node gets a synthesized
+        base-rate tap node so the inner->outer edge carries the Down
+        resampler (the reference allows `[sinc] clip.output -> audio_out`
+        directly; the tap reproduces that with explicit edges)."""
+        from ..nodes.basic import Gain
+
+        for name in list(ir.output_edges):
+            expr = ir.output_edges[name]
+            inner = [r for r in expr.endpoints()
+                     if r.node and r.node in ir.nodes
+                     and ir.nodes[r.node].rate != 1]
+            if not inner:
+                continue
+            tap_name = f"__output_tap_{name}"
+            ir.nodes[tap_name] = IrNodeInst(tap_name, Gain(1.0))
+            ir.edges.append(IrEdge(
+                expr, tap_name, "input", None,
+                ir.output_policies.get(name, Policy.DEFAULT)))
+            ir.output_edges[name] = EndpointRef(tap_name, "output")
 
     # ................................................................. #
     def _lower_stmt(self, ir: IrGraph, stmt: dict) -> None:
@@ -435,6 +458,8 @@ class Graph:
                     "+", ir.output_edges[out_name], src)
             else:
                 ir.output_edges[out_name] = src
+            if policy != Policy.DEFAULT:
+                ir.output_policies[out_name] = policy
             return
 
         if stmt.get("feedback"):

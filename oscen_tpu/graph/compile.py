@@ -61,12 +61,27 @@ class _Program:
             n for n in ir.order if not ir.nodes[n].node.HOST]
         self.host_set = set(self.host_nodes)
 
-        for n in ir.order:
-            if ir.nodes[n].rate != 1:
-                self._setup_multirate()
-                break
-        else:
-            self.multirate = False
+        self.multirate = any(ir.nodes[n].rate != 1 for n in ir.order)
+
+        # resampler kernels per cross-rate edge (reference dispatch tables:
+        # stream Default -> sinc FIR, value Default -> latch)
+        from ..core.types import Policy
+        from ..ops import resample as _rs
+        self.resamplers: Dict[int, Any] = {}
+        self.edge_ids: Dict[int, int] = {}
+        for idx, e in enumerate(ir.edges):
+            self.edge_ids[id(e)] = idx
+            if e.kernel not in (EdgeKernel.UP, EdgeKernel.DOWN):
+                continue
+            if e.policy == Policy.DEFAULT:
+                pol = "latch" if e.kind == Kind.VALUE else "sinc"
+            else:
+                pol = e.policy.value
+            if e.kernel == EdgeKernel.UP:
+                self.resamplers[idx] = _rs.make_upsampler(pol, e.rate_factor)
+            else:
+                self.resamplers[idx] = _rs.make_downsampler(
+                    pol, e.rate_factor)
 
         # edges grouped by destination (declaration order preserved)
         self.edges_by_dst: Dict[Tuple[str, str], List[IrEdge]] = {}
@@ -138,7 +153,27 @@ class _Program:
                 shape = (inst.count,) + shape
             fb[f"{n}.{ep}"] = jnp.zeros(shape, jnp.float32)
         state["__fb__"] = fb
+
+        rs = {}
+        for idx, kern in self.resamplers.items():
+            e = self.ir.edges[idx]
+            payload = self._edge_payload_shape(e)
+            like = jnp.zeros((1,) + payload, jnp.float32)
+            rs[str(idx)] = kern.init_state(like)
+        state["__rs__"] = rs
         return state
+
+    def _edge_payload_shape(self, e: IrEdge) -> tuple:
+        """Trailing (non-time) shape carried by a cross-rate edge: channel
+        axes plus a trailing instance axis for node arrays (resamplers
+        broadcast over trailing dims)."""
+        inst = self.ir.nodes[e.dst_node]
+        ep = inst.node.input(e.dst_endpoint)
+        payload = ep.shape if ep.shape else (
+            () if ep.channels == 1 else (ep.channels,))
+        if inst.count > 1 and e.dst_index is None:
+            payload = payload + (inst.count,)
+        return payload
 
     def scaled_sr(self, inst: IrNodeInst) -> SampleRate:
         return SampleRate(self.sr.hz * inst.rate)
@@ -173,10 +208,13 @@ class _Program:
                 for c in chans], axis=-1)
         raise TypeError(f"bad expression {expr!r}")
 
-    def gather_inputs(self, name: str, resolve_for_edge) -> Dict[str, Any]:
+    def gather_inputs(self, name: str, resolve_for_edge,
+                      override=None) -> Dict[str, Any]:
         """Evaluate all edges into ``name`` (connect + accumulate fan-in,
         static_context.rs:160-217), fill unconnected inputs with defaults,
-        broadcast for node arrays."""
+        broadcast for node arrays.  ``override(edge)`` may supply an
+        already-destination-shaped value (cross-rate edges in the
+        multirate schedule)."""
         inst = self.ir.nodes[name]
         node = inst.node
         ins: Dict[str, Any] = {}
@@ -186,9 +224,20 @@ class _Program:
             edges = self.edges_by_dst.get((name, ep.name), [])
             val = None
             for e in edges:
-                v = self.eval_expr(e.source, resolve_for_edge(e))
-                if e.fanout == Fanout.FAN_IN and e.dst_index is None:
-                    v = jnp.sum(v, axis=0)
+                ov = override(e) if override is not None else None
+                if ov is not None:
+                    v = ov
+                else:
+                    v = self.eval_expr(e.source, resolve_for_edge(e))
+                    if e.fanout == Fanout.FAN_IN and e.dst_index is None:
+                        v = jnp.sum(v, axis=0)
+                    if e.dst_index is None:
+                        if e.fanout == Fanout.BROADCAST or (
+                                inst.count > 1
+                                and e.fanout == Fanout.SCALAR):
+                            v = self._broadcast_to_count(v, inst.count, ep)
+                        elif e.fanout == Fanout.PARALLEL:
+                            v = self._truncate_parallel(v, inst.count)
                 if e.dst_index is not None:
                     base = val
                     if base is None:
@@ -196,23 +245,27 @@ class _Program:
                     val = base.at[e.dst_index].set(v) \
                         if hasattr(base, "at") else base
                 elif val is None:
-                    if e.fanout == Fanout.BROADCAST or (
-                            inst.count > 1 and e.fanout == Fanout.SCALAR):
-                        v = self._broadcast_to_count(v, inst.count, ep)
-                    elif e.fanout == Fanout.PARALLEL:
-                        v = self._truncate_parallel(v, inst.count)
                     val = v
                 else:
-                    if e.fanout == Fanout.BROADCAST or (
-                            inst.count > 1 and e.fanout == Fanout.SCALAR):
-                        v = self._broadcast_to_count(v, inst.count, ep)
-                    elif e.fanout == Fanout.PARALLEL:
-                        v = self._truncate_parallel(v, inst.count)
                     val = val + v  # accumulate (stream fan-in sum)
             if val is None:
                 val = self._default_value(inst, ep)
             ins[ep.name] = val
         return ins
+
+    def normalize_for_dst(self, e: IrEdge, v):
+        """Apply fanout transforms producing the destination's per-sample
+        shape (count?, *payload)."""
+        inst = self.ir.nodes[e.dst_node]
+        ep = inst.node.input(e.dst_endpoint)
+        if e.fanout == Fanout.FAN_IN and e.dst_index is None:
+            v = jnp.sum(v, axis=0)
+        if e.dst_index is None and inst.count > 1:
+            if e.fanout in (Fanout.BROADCAST, Fanout.SCALAR, Fanout.FAN_IN):
+                v = self._broadcast_to_count(v, inst.count, ep)
+            elif e.fanout == Fanout.PARALLEL:
+                v = self._truncate_parallel(v, inst.count)
+        return v
 
     def _default_value(self, inst: IrNodeInst, ep) -> Any:
         shape = ep.shape if ep.shape else (
@@ -235,11 +288,82 @@ class _Program:
 # ===================================================================== #
 class _SampleStep:
     """Per-sample fused body — the ``__advance_one_frame`` analogue
-    (emit_frame.rs:29-108), traced once and scanned over the block."""
+    (emit_frame.rs:29-108 same-rate, :95-108 + :114-176 multirate),
+    traced once and scanned over the block."""
 
     def __init__(self, prog: _Program):
         self.prog = prog
+        ir = prog.ir
+        self.inner_nodes = [n for n in prog.device_nodes
+                            if ir.nodes[n].rate != 1]
+        rates = {ir.nodes[n].rate for n in self.inner_nodes}
+        if len(rates) > 1:
+            raise ValueError(
+                "mixed oversampling factors in one graph are unsupported "
+                "(the reference rejects mixed inner rates, "
+                "lower.rs:797-809)")
+        self.inner_rate = rates.pop() if rates else 1
+        self.up_edges = [e for e in ir.edges
+                         if e.kernel == EdgeKernel.UP]
+        self.down_edges = [e for e in ir.edges
+                           if e.kernel == EdgeKernel.DOWN]
+        # taint: outer consumers (transitive) of Down-edge outputs run
+        # after the inner loop (emit_node.rs:516-584)
+        tainted = {e.dst_node for e in self.down_edges}
+        changed = True
+        while changed:
+            changed = False
+            for e in ir.edges:
+                if e.is_feedback or e.dst_node in tainted:
+                    continue
+                srcs = {r.node for r in e.source.endpoints() if r.node}
+                if srcs & tainted:
+                    tainted.add(e.dst_node)
+                    changed = True
+        for e in self.up_edges:
+            srcs = {r.node for r in e.source.endpoints() if r.node}
+            if srcs & tainted:
+                raise ValueError(
+                    "down-then-up diamond (an oversampled region fed from "
+                    "a downsampled signal) is rejected, as in the "
+                    "reference (emit_node.rs:516-584)")
+        outer = [n for n in prog.device_nodes
+                 if ir.nodes[n].rate == 1]
+        self.pre_nodes = [n for n in outer if n not in tainted]
+        self.post_nodes = [n for n in outer if n in tainted]
 
+    # ------------------------------------------------------------------ #
+    def _run_node(self, new_state, env, name, t_ev, ev_bufs, resolver,
+                  override=None):
+        prog = self.prog
+        inst = prog.ir.nodes[name]
+        node = inst.node
+        sr = prog.scaled_sr(inst)
+        ins = prog.gather_inputs(name, resolver, override)
+        st = new_state[name]
+        for ep in node.INPUTS:
+            if ep.kind != Kind.EVENT:
+                continue
+            buf = ev_bufs.get(f"{name}.{ep.name}")
+            if buf is None or buf.capacity == 0:
+                continue
+            if inst.count > 1:
+                st = jax.vmap(
+                    lambda s, b, i: node.apply_events_at(
+                        s, ep.name, b, t_ev, sr, i)
+                )(st, buf, ins)
+            else:
+                st = node.apply_events_at(st, ep.name, buf, t_ev, sr, ins)
+        if inst.count > 1:
+            st, outs = jax.vmap(
+                lambda s, i: node.tick(s, i, sr))(st, ins)
+        else:
+            st, outs = node.tick(st, ins, sr)
+        new_state[name] = st
+        for k, v in outs.items():
+            env[(name, k)] = v
+
+    # ------------------------------------------------------------------ #
     def __call__(self, state: Dict[str, Any], t, per_sample: Dict[str, Any],
                  ev_bufs: Dict[str, EventBuffer]
                  ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -264,39 +388,79 @@ class _SampleStep:
             return resolve
 
         new_state = dict(state)
-        for name in prog.device_nodes:
-            inst = ir.nodes[name]
-            node = inst.node
-            sr = prog.scaled_sr(inst)
-            ins = prog.gather_inputs(name, resolver)
-            st = new_state[name]
 
-            # event dispatch (process_event_inputs before process)
-            for ep in node.INPUTS:
-                if ep.kind != Kind.EVENT:
-                    continue
-                buf = ev_bufs.get(f"{name}.{ep.name}")
-                if buf is None or buf.capacity == 0:
-                    continue
-                if inst.count > 1:
-                    st = jax.vmap(
-                        lambda s, b, i: node.apply_events_at(
-                            s, ep.name, b, t, sr, i)
-                    )(st, buf, ins)
-                else:
-                    st = node.apply_events_at(st, ep.name, buf, t, sr, ins)
+        if not self.inner_nodes:
+            for name in prog.device_nodes:
+                self._run_node(new_state, env, name, t, ev_bufs, resolver)
+        else:
+            # ---- multirate schedule (emit_frame.rs:114-176) ----------
+            N = self.inner_rate
+            rs = dict(new_state["__rs__"])
 
-            if inst.rate != 1:
-                raise NotImplementedError(
-                    "multirate nodes are handled by the multirate scheduler")
-            if inst.count > 1:
-                st, outs = jax.vmap(
-                    lambda s, i: node.tick(s, i, sr))(st, ins)
-            else:
-                st, outs = node.tick(st, ins, sr)
-            new_state[name] = st
-            for k, v in outs.items():
-                env[(name, k)] = v
+            for name in self.pre_nodes:
+                self._run_node(new_state, env, name, t, ev_bufs, resolver)
+
+            # up-warmup: one outer value in, N inner values out per edge
+            up_vals: Dict[int, Any] = {}
+            for e in self.up_edges:
+                idx = prog.edge_ids[id(e)]
+                v = prog.eval_expr(e.source, resolver(e))
+                v = prog.normalize_for_dst(e, v)
+                count = (prog.ir.nodes[e.dst_node].count
+                         if e.dst_index is None else 1)
+                if count > 1:
+                    v = jnp.moveaxis(jnp.asarray(v), 0, -1)
+                st, buf = prog.resamplers[idx].process_block(
+                    rs[str(idx)], jnp.asarray(v)[None])
+                rs[str(idx)] = st
+                if count > 1:
+                    buf = jnp.moveaxis(buf, -1, 1)  # [N, C, *payload]
+                up_vals[idx] = buf
+
+            # inner loop ×N
+            down_collect: Dict[int, list] = {
+                prog.edge_ids[id(e)]: [] for e in self.down_edges}
+            for i in range(N):
+                def override_up(e, i=i):
+                    if e.kernel == EdgeKernel.UP:
+                        return up_vals[prog.edge_ids[id(e)]][i]
+                    return None
+                t_inner = t * N + i
+                for name in self.inner_nodes:
+                    self._run_node(new_state, env, name, t_inner, ev_bufs,
+                                   resolver, override_up)
+                for e in self.down_edges:
+                    v = prog.eval_expr(e.source, resolver(e))
+                    v = prog.normalize_for_dst(e, v)
+                    down_collect[prog.edge_ids[id(e)]].append(v)
+
+            # down-finalize
+            down_vals: Dict[int, Any] = {}
+            for e in self.down_edges:
+                idx = prog.edge_ids[id(e)]
+                count = (prog.ir.nodes[e.dst_node].count
+                         if e.dst_index is None else 1)
+                stacked = jnp.stack(
+                    [jnp.asarray(v) for v in down_collect[idx]], axis=0)
+                if count > 1:
+                    stacked = jnp.moveaxis(stacked, 1, -1)
+                st, y = prog.resamplers[idx].process_block(
+                    rs[str(idx)], stacked)
+                rs[str(idx)] = st
+                y = y[0]
+                if count > 1:
+                    y = jnp.moveaxis(y, -1, 0)
+                down_vals[idx] = y
+
+            def override_down(e):
+                if e.kernel == EdgeKernel.DOWN:
+                    return down_vals[prog.edge_ids[id(e)]]
+                return None
+
+            for name in self.post_nodes:
+                self._run_node(new_state, env, name, t, ev_bufs, resolver,
+                               override_down)
+            new_state["__rs__"] = rs
 
         # refresh feedback carries with this sample's outputs
         fb = dict(state["__fb__"])
@@ -514,6 +678,16 @@ class CompiledGraph:
         ev_bufs: Dict[str, EventBuffer] = {}
         for (name, ep) in prog.event_endpoints:
             inst = ir.nodes[name]
+
+            def _scale(buf, rate=None):
+                # outer->inner event frame-offset rescale (reference
+                # EdgeKernel::Event{Multiply}, emit_frame.rs event drains)
+                r = rate if rate is not None else inst.rate
+                if r == 1:
+                    return buf
+                return EventBuffer(np.asarray(buf.offsets) * r,
+                                   buf.values, buf.valid)
+
             edges = prog.edges_by_dst.get((name, ep), [])
             if inst.count > 1:
                 per_inst: List[List[EventInstance]] = [
@@ -530,8 +704,8 @@ class CompiledGraph:
                             per_inst[i].extend(evs)
                 cap = _round_capacity(max((len(v) for v in per_inst),
                                           default=0))
-                ev_bufs[f"{name}.{ep}"] = EventBuffer.stack(
-                    [EventBuffer.from_events(v, cap) for v in per_inst])
+                ev_bufs[f"{name}.{ep}"] = _scale(EventBuffer.stack(
+                    [EventBuffer.from_events(v, cap) for v in per_inst]))
             else:
                 evs = []
                 for e in edges:
@@ -541,7 +715,8 @@ class CompiledGraph:
                         src_evs = src_evs[e.source.index]
                     evs.extend(src_evs)
                 cap = _round_capacity(len(evs))
-                ev_bufs[f"{name}.{ep}"] = EventBuffer.from_events(evs, cap)
+                ev_bufs[f"{name}.{ep}"] = _scale(
+                    EventBuffer.from_events(evs, cap))
 
         host_vals = {f"__host__{n}.{ep}": arr
                      for (n, ep), arr in val_env.items()}

@@ -180,6 +180,7 @@ class IrGraph:
     inputs: List[GraphInput] = field(default_factory=list)
     outputs: List[GraphOutput] = field(default_factory=list)
     output_edges: dict = field(default_factory=dict)  # out name -> Expr
+    output_policies: dict = field(default_factory=dict)  # out name -> Policy
     order: List[str] = field(default_factory=list)    # topo order (all nodes)
 
     def input_names(self) -> List[str]:

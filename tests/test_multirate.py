@@ -1,0 +1,164 @@
+"""Multirate oversampling: resampler kernel quality, the oversampled
+saturator, and mode equivalence.
+
+Mirrors: reference resampler passband tests (tests/resample_kernels.rs),
+aliasing-reduction spectral assertions (tests/multirate_graph.rs
+hardclip_4x_has_less_aliasing_than_1x), latency accounting
+(sinc_fir.rs:191-206).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from oscen_tpu import Graph, HardClip, PolyBlepOscillator
+from oscen_tpu.ops import resample as rs
+
+
+def _run_updown(up, down, x):
+    su = up.init_state(jnp.zeros((1,)))
+    sd = down.init_state(jnp.zeros((1,)))
+    su, hi = jax.jit(up.process_block)(su, jnp.asarray(x))
+    sd, lo = jax.jit(down.process_block)(sd, hi)
+    return np.asarray(lo)
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_sinc_fir_passband_roundtrip(n):
+    """A sub-passband sine survives the up->down cascade within the
+    reference's documented error margins (tests/resample_kernels.rs)."""
+    sr = 48_000.0
+    freq = 1_000.0
+    t = np.arange(4096, dtype=np.float32)
+    x = np.sin(2 * np.pi * freq * t / sr).astype(np.float32)
+    up = rs.SincUpFir(n)
+    down = rs.SincDownFir(n)
+    lo = _run_updown(up, down, x)
+    # total group delay at the low rate: 11*(n-1)/n per stage pair ≈ 22
+    delay = round(2 * rs.HALFBAND_23_GROUP_DELAY * (n - 1) / n)
+    ref = np.roll(x, delay)
+    err = np.abs(lo[200:3800] - ref[200:3800]).max()
+    assert err < 0.1, err
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_iir_halfband_passband_roundtrip(n):
+    sr = 48_000.0
+    freq = 1_000.0
+    t = np.arange(4096, dtype=np.float32)
+    x = np.sin(2 * np.pi * freq * t / sr).astype(np.float32)
+    lo = _run_updown(rs.IirHalfbandUp(n), rs.IirHalfbandDown(n), x)
+    # allpass phase: compare amplitude envelope instead of exact alignment
+    amp = np.abs(lo[500:3500]).max()
+    assert 0.9 < amp < 1.1, amp
+    # and correlation with a small-lag-scanned reference
+    best = 0.0
+    for lag in range(0, 12):
+        r = np.corrcoef(lo[500:3500], np.roll(x, lag)[500:3500])[0, 1]
+        best = max(best, r)
+    assert best > 0.995, best
+
+
+def test_latch_linear_updown():
+    x = np.arange(8, dtype=np.float32)
+    up = rs.LatchUp(4)
+    _, y = up.process_block(up.init_state(), jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y), np.repeat(x, 4))
+    down = rs.LatchDown(4)
+    _, z = down.process_block(down.init_state(), y)
+    np.testing.assert_array_equal(np.asarray(z), x)
+
+    lup = rs.LinearUp(2)
+    st = lup.init_state(jnp.zeros((1,)))
+    _, y = lup.process_block(st, jnp.asarray(x))
+    # out[2t] = prev, out[2t+1] = midpoint (reference linear.rs:22-41)
+    np.testing.assert_allclose(np.asarray(y)[:6],
+                               [0.0, 0.0, 0.0, 0.5, 1.0, 1.5], atol=1e-6)
+    ldown = rs.LinearDown(4)
+    _, z = ldown.process_block(ldown.init_state(), jnp.asarray(
+        np.arange(8, dtype=np.float32)))
+    np.testing.assert_allclose(np.asarray(z), [1.5, 5.5], atol=1e-6)
+
+
+def test_sinc_dc_gain_unity():
+    """Both FIR directions preserve DC at unity (coeffs.rs:15-17)."""
+    x = np.ones(1024, np.float32)
+    up = rs.SincUpFir(2)
+    _, hi = up.process_block(up.init_state(jnp.zeros((1,))),
+                             jnp.asarray(x))
+    assert abs(float(np.asarray(hi)[-1]) - 1.0) < 1e-3
+    down = rs.SincDownFir(2)
+    _, lo = down.process_block(down.init_state(jnp.zeros((1,))), hi)
+    assert abs(float(np.asarray(lo)[-1]) - 1.0) < 1e-3
+
+
+def build_saturator(factor):
+    """The oversampled-saturator graph (reference
+    examples/oversampled-saturator/src/main.rs:64-80)."""
+    g = Graph(f"Sat{factor}x")
+    g.output("audio_out", "stream")
+    osc = g.add("osc", PolyBlepOscillator.saw(2000.0, 0.6), rate=factor)
+    clip = g.add("clip", HardClip(), rate=factor)
+    g.connect(osc.output, clip.input)
+    g.connect(clip.output, "audio_out", policy="sinc")
+    return g
+
+
+def _bin_mag(x, sr, freq):
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    freqs = np.fft.rfftfreq(len(x), 1 / sr)
+    return spec[np.argmin(np.abs(freqs - freq))]
+
+
+@pytest.mark.parametrize("mode", ["sample", "block"])
+def test_hardclip_4x_less_aliasing_than_1x(mode):
+    """4x oversampled hard clip shows less alias energy
+    (tests/multirate_graph.rs)."""
+    # 44.1 kHz: not an integer multiple of 2 kHz, so folded harmonics land
+    # off the harmonic comb and are measurable (at 48 kHz every alias of a
+    # 2 kHz harmonic folds exactly onto another harmonic).
+    sr = 44_100.0
+    out = {}
+    for factor in (1, 4):
+        c = build_saturator(factor).compile(sr, block_size=512, mode=mode)
+        out[factor] = c.render_mono(8192)[4096:]
+    f0 = 2000.0
+    # an alias of a high harmonic of 2 kHz: e.g. 13*2k=26k aliases to 22k;
+    # measure total energy away from true harmonics
+    def alias_energy(x):
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x)))) ** 2
+        freqs = np.fft.rfftfreq(len(x), 1 / sr)
+        harm = (np.abs((freqs + f0 / 2) % f0 - f0 / 2) < 80.0)
+        return spec[~harm & (freqs > 500)].sum()
+    assert alias_energy(out[4]) < 0.5 * alias_energy(out[1]), \
+        (alias_energy(out[4]), alias_energy(out[1]))
+    # both still carry the fundamental strongly
+    assert _bin_mag(out[4], sr, f0) > 50
+
+
+def test_multirate_modes_agree():
+    a = build_saturator(4).compile(48000.0, 256,
+                                   mode="sample").render_mono(1024)
+    b = build_saturator(4).compile(48000.0, 256,
+                                   mode="block").render_mono(1024)
+    rms = np.sqrt(np.mean((a - b) ** 2))
+    assert rms < 1e-3, rms
+
+
+def test_multirate_value_edge_latch():
+    """A value input into an oversampled node takes the latch kernel by
+    default (kernel refinement: value Default -> Latch)."""
+    g = Graph("VL")
+    g.input("freq", "value", default=100.0)
+    g.output("out", "stream")
+    osc = g.add("osc", PolyBlepOscillator.sine(100.0, 1.0), rate=2)
+    g.connect("freq", osc.frequency)
+    g.connect(osc.output, "out", policy="sinc")
+    c = g.compile(48000.0, block_size=256)
+    out = c.render_mono(2048)
+    spec = np.abs(np.fft.rfft(out[512:] * np.hanning(1536)))
+    freqs = np.fft.rfftfreq(1536, 1 / 48000.0)
+    peak = freqs[spec.argmax()]
+    assert abs(peak - 100.0) < 40.0, peak
