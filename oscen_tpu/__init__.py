@@ -21,12 +21,15 @@ from .graph.builder import Frame, Graph, GraphError, call
 from .graph.node import HostNode, Node
 from .nodes.basic import (AddValue, AudioInput, Crossfade, FmOperator, Gain,
                           HardClip, Mixer, Tremolo, Value)
+from .assets import AssetError, AudioAsset
+from .nodes.convolver import Convolver
 from .nodes.delay import Delay
 from .nodes.envelope import AdsrEnvelope
 from .nodes.filters import IirLowpass, LP18Filter, TptFilter
 from .nodes.midi import (EventPassthrough, MidiParser, MidiVoiceHandler,
                          midi_note_to_freq, raw_midi_event)
 from .nodes.oscillators import Oscillator, PolyBlepOscillator
+from .nodes.sample_player import SamplePlayer
 from .nodes.voice_allocator import VoiceAllocator
 
 __version__ = "0.1.0"
@@ -34,6 +37,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AddValue", "AdsrEnvelope", "AudioInput", "Crossfade", "Delay",
     "DEFAULT_MAX_BLOCK_SIZE", "EventBuffer", "EventInstance", "EventQueue",
+    "AssetError", "AudioAsset", "Convolver", "SamplePlayer",
     "EventPassthrough", "FmOperator", "Frame", "Gain", "Graph",
     "GraphError", "HardClip", "HostNode", "IirLowpass", "Kind",
     "LP18Filter", "MidiParser", "MidiVoiceHandler", "Mixer", "Node",

@@ -104,6 +104,8 @@ class Graph:
         self._output_sources: Dict[str, Expr] = {}
         self._synth_counter = 0
         self._via_used: set = set()
+        self._externals: set = set()
+        self._asset_bindings: List[tuple] = []  # (external, node, endpoint)
 
     # ------------------------------------------------------------------ #
     # declarations
@@ -126,6 +128,17 @@ class Graph:
         if any(o.name == name for o in self._outputs):
             raise GraphError(f"duplicate output '{name}'")
         self._outputs.append(GraphOutput(name, kind, channels))
+        return name
+
+    def external(self, name: str) -> str:
+        """Declare an external asset slot (reference ``external name:
+        Type;``, ast.rs + lower.rs asset-binding pre-pass).  Bind it to a
+        node's asset input with ``connect(name, node.asset_endpoint)``;
+        publish data at runtime with ``CompiledGraph.load_wav`` /
+        ``publish_asset``."""
+        if name in self._externals or name in self._nodes:
+            raise GraphError(f"duplicate external '{name}'")
+        self._externals.add(name)
         return name
 
     def add(self, name: str, node, count: int = 1,
@@ -161,6 +174,21 @@ class Graph:
         stale struct field.
         """
         policy = Policy(policy) if not isinstance(policy, Policy) else policy
+        if isinstance(source, str) and source in self._externals:
+            # asset binding, not a signal edge (lower.rs:375-425)
+            dst = self._as_dest(dest)
+            if not isinstance(dst, EndpointRef):
+                raise GraphError(
+                    f"external '{source}' can only bind to a node's asset "
+                    f"input")
+            node = self._nodes[dst.node].node
+            if isinstance(node, Graph) or \
+                    node.input(dst.endpoint).kind != Kind.ASSET:
+                raise GraphError(
+                    f"external '{source}' must bind to an asset input, "
+                    f"not '{dst.node}.{dst.endpoint}'")
+            self._asset_bindings.append((source, dst.node, dst.endpoint))
+            return
         src = self._as_source_expr(source)
         dst = self._as_dest(dest)
         if feedback and via is not None:
@@ -234,6 +262,12 @@ class Graph:
         f = Graph(self.name)
         f._inputs = list(self._inputs)
         f._outputs = list(self._outputs)
+        f._externals = set(self._externals)
+        for b in self._asset_bindings:
+            if b[1] in subs:
+                raise GraphError(
+                    "asset bindings into subgraph nodes are unsupported")
+        f._asset_bindings = list(self._asset_bindings)
 
         # nodes
         for name, inst in self._nodes.items():
@@ -405,6 +439,7 @@ class Graph:
         ir.inputs = list(self._inputs)
         ir.outputs = list(self._outputs)
         ir.nodes = dict(self._nodes)
+        ir.asset_bindings = list(self._asset_bindings)
 
         # -- step 3: build edges (via expansion, lower.rs:340-655) --------
         for stmt in self._connections:
@@ -687,6 +722,8 @@ class Graph:
             del ir.nodes[n]
         ir.order = [n for n in ir.order if n in live]
         ir.edges = [e for e in ir.edges if e.dst_node in live]
+        ir.asset_bindings = [b for b in ir.asset_bindings
+                             if b[1] in live]
 
     # ------------------------------------------------------------------ #
     def compile(self, sample_rate: float = 44100.0, block_size: int = 512,

@@ -569,6 +569,44 @@ class CompiledGraph:
             EventInstance(int(frame_offset), payload))
 
     # ------------------------------------------------------------------ #
+    # assets (publish -> take -> retire analogue; reference asset/mod.rs)
+    # ------------------------------------------------------------------ #
+    def publish_asset(self, external: str, a) -> None:
+        """Conform an AudioAsset to the graph rate and swap it into every
+        bound node's state between blocks (the control-thread publish;
+        the render path sees a pure functional state replacement with
+        unchanged shapes — no retrace)."""
+        from ..assets import AssetError, AudioAsset
+
+        bindings = [b for b in self.ir.asset_bindings if b[0] == external]
+        if not bindings:
+            raise KeyError(f"unknown external asset '{external}'")
+        if not isinstance(a, AudioAsset):
+            raise AssetError("publish_asset expects an AudioAsset")
+        if a.sample_rate != int(self.sample_rate):
+            a = AudioAsset.from_samples(a.channels_data, a.sample_rate,
+                                        graph_rate=self.sample_rate)
+        for (_, node_name, endpoint) in bindings:
+            inst = self.ir.nodes[node_name]
+            if inst.count > 1:
+                raise NotImplementedError(
+                    "asset bindings into node arrays are unsupported")
+            node = inst.node
+            consume = getattr(node, "asset_consume", None)
+            if consume is None:
+                raise AssetError(
+                    f"node '{node_name}' has no asset consumer")
+            self.state[node_name] = consume(
+                self.state[node_name], a, self.prog.scaled_sr(inst))
+
+    def load_wav(self, external: str, path: str) -> None:
+        """Decode + conform + publish (reference AssetLoadHandle::load_wav,
+        asset/mod.rs:290-294)."""
+        from ..assets import AudioAsset
+        self.publish_asset(
+            external, AudioAsset.from_wav(path, graph_rate=self.sample_rate))
+
+    # ------------------------------------------------------------------ #
     # host pre-pass
     # ------------------------------------------------------------------ #
     def _host_prepass(self, block_len: int

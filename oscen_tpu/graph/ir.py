@@ -182,6 +182,8 @@ class IrGraph:
     output_edges: dict = field(default_factory=dict)  # out name -> Expr
     output_policies: dict = field(default_factory=dict)  # out name -> Policy
     order: List[str] = field(default_factory=list)    # topo order (all nodes)
+    asset_bindings: List[tuple] = field(default_factory=list)
+    # (external name, node, endpoint)
 
     def input_names(self) -> List[str]:
         return [i.name for i in self.inputs]

@@ -1,0 +1,197 @@
+"""Assets + convolution: exactness vs naive convolution, zero latency,
+hot-swap crossfade, stereo independence, sample playback, offline
+resampler quality.
+
+Mirrors: reference convolver-vs-naive comparisons (tests/convolution.rs),
+asset end-to-end (tests/asset_graph.rs, tests/sample_player_graph.rs),
+stereo no-bleed (tests/stereo_convolver_graph.rs), offline resampler
+quality (asset/resample.rs tests).
+"""
+
+import numpy as np
+import pytest
+
+from oscen_tpu import (AssetError, AudioAsset, Convolver, Graph,
+                      SamplePlayer)
+from oscen_tpu.ops.offline_resample import resample_channel
+
+
+def _noise(n, seed=0):
+    return np.random.default_rng(seed).uniform(-1, 1, n).astype(np.float32)
+
+
+def conv_graph(ir=None, channels=1, max_ir=256, mode="block"):
+    g = Graph("Conv")
+    g.input("x", "stream", channels=channels)
+    g.output("out", "stream", channels=channels)
+    g.external("ir")
+    c = g.add("conv", Convolver(ir=ir, max_ir_len=max_ir,
+                                channels=channels))
+    g.connect("ir", c.ir)
+    g.connect("x", c.input)
+    g.connect(c.output, "out")
+    return g.compile(48000.0, block_size=64, mode=mode)
+
+
+@pytest.mark.parametrize("mode", ["sample", "block"])
+def test_convolver_matches_naive(mode):
+    """Output equals brute-force convolution with zero latency
+    (the Gardner invariant, convolution/mod.rs:10-17)."""
+    ir = _noise(100, seed=1)
+    x = _noise(256, seed=2)
+    c = conv_graph(ir=ir, max_ir=128, mode=mode)
+    out = c.render_mono(256, stream_inputs={"x": x})
+    ref = np.convolve(x, ir)[:256]
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_convolver_impulse_reproduces_ir():
+    ir = _noise(50, seed=3)
+    c = conv_graph(ir=ir, max_ir=64)
+    x = np.zeros(128, np.float32)
+    x[0] = 1.0
+    out = c.render_mono(128, stream_inputs={"x": x})
+    np.testing.assert_allclose(out[:50], ir, atol=1e-5)
+    np.testing.assert_allclose(out[50:], 0.0, atol=1e-5)
+
+
+def test_convolver_hot_swap_crossfades():
+    """Publishing a new IR crossfades over 20 ms without clicks
+    (convolution/mod.rs:534-573)."""
+    c = conv_graph(ir=[1.0], max_ir=64)
+    x = np.ones(4800, np.float32) * 0.5
+    a = c.render_mono(960, stream_inputs={"x": x})  # identity: 0.5
+    np.testing.assert_allclose(a[100:], 0.5, atol=1e-5)
+    # swap to a 2x gain IR
+    c.publish_asset("ir", AudioAsset.from_samples(
+        np.array([2.0], np.float32), 48000))
+    b = c.render_mono(1920, stream_inputs={"x": x})
+    # starts at old level, ends at new level, monotonic-ish, no jumps
+    assert abs(b[0] - 0.5) < 0.01
+    assert abs(b[-1] - 1.0) < 1e-4
+    assert np.abs(np.diff(b)).max() < 0.01  # click-free
+    fade_len = int(0.02 * 48000)
+    assert abs(b[fade_len + 5] - 1.0) < 1e-4
+
+
+def test_convolver_stereo_no_bleed():
+    """Channel c convolves with IR channel c only — L->L, R->R
+    (tests/stereo_convolver_graph.rs)."""
+    ir_l = _noise(20, seed=4)
+    ir_r = _noise(20, seed=5)
+    c = conv_graph(channels=2, max_ir=64)
+    c.publish_asset("ir", AudioAsset.from_samples(
+        np.stack([ir_l, ir_r]), 48000))
+    # let the publish crossfade (20 ms) complete on silence first
+    c.render(1024, stream_inputs={"x": np.zeros((1024, 2), np.float32)})
+    x = np.zeros((128, 2), np.float32)
+    x[0, 0] = 1.0  # impulse on L only
+    out = c.render(128, stream_inputs={"x": x})["out"]
+    np.testing.assert_allclose(out[:20, 0], ir_l, atol=1e-5)
+    np.testing.assert_allclose(out[:, 1], 0.0, atol=1e-6)
+
+
+def test_sample_player_loops_and_swaps(tmp_path):
+    g = Graph("SP")
+    g.output("out", "stream")
+    g.external("buf")
+    sp = g.add("sp", SamplePlayer(capacity=64))
+    g.connect("buf", sp.buf)
+    g.connect(sp.output, "out")
+    c = g.compile(48000.0, block_size=32)
+    # silent until loaded (sample_player/mod.rs: unloaded emits silence)
+    out = c.render_mono(32)
+    np.testing.assert_array_equal(out, 0.0)
+    data = np.arange(10, dtype=np.float32) / 10.0
+    c.publish_asset("buf", AudioAsset.from_samples(data, 48000))
+    out = c.render_mono(25)
+    np.testing.assert_allclose(out, np.tile(data, 3)[:25], atol=1e-6)
+    # swap resets playhead
+    data2 = -data
+    c.publish_asset("buf", AudioAsset.from_samples(data2, 48000))
+    out = c.render_mono(10)
+    np.testing.assert_allclose(out, data2, atol=1e-6)
+
+
+def test_sample_player_wav_roundtrip(tmp_path):
+    path = str(tmp_path / "test.wav")
+    data = (np.sin(np.linspace(0, 20, 200)) * 0.5).astype(np.float32)
+    AudioAsset.write_wav(path, data, 48000)
+    g = Graph("SPW")
+    g.output("out", "stream")
+    g.external("buf")
+    sp = g.add("sp", SamplePlayer(capacity=256))
+    g.connect("buf", sp.buf)
+    g.connect(sp.output, "out")
+    c = g.compile(48000.0, block_size=64)
+    c.load_wav("buf", path)
+    out = c.render_mono(200)
+    np.testing.assert_allclose(out, data, atol=1e-3)  # 16-bit quant
+
+
+def test_asset_resamples_to_graph_rate():
+    """An asset at a foreign rate conforms via the offline resampler
+    (asset/mod.rs:169-232): a 1 kHz sine at 44.1k plays as 1 kHz at 48k."""
+    sr_src, sr_graph = 44100, 48000
+    t = np.arange(sr_src // 2, dtype=np.float32)
+    data = np.sin(2 * np.pi * 1000.0 * t / sr_src).astype(np.float32)
+    g = Graph("AR")
+    g.output("out", "stream")
+    g.external("buf")
+    sp = g.add("sp", SamplePlayer(capacity=1 << 15))
+    g.connect("buf", sp.buf)
+    g.connect(sp.output, "out")
+    c = g.compile(float(sr_graph), block_size=512)
+    c.publish_asset("buf", AudioAsset.from_samples(data, sr_src))
+    out = c.render_mono(8192)[512:7680]
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    peak = np.fft.rfftfreq(len(out), 1 / sr_graph)[spec.argmax()]
+    assert abs(peak - 1000.0) < 10.0, peak
+
+
+# ---------------- offline resampler quality (asset/resample.rs) -------- #
+def test_offline_resample_constant_preserved():
+    x = np.full(500, 0.7, np.float32)
+    for src, dst in [(48000, 44100), (44100, 48000), (96000, 44100)]:
+        out = resample_channel(x, src, dst)
+        guard = 36
+        np.testing.assert_allclose(out[guard:-guard], 0.7, atol=1e-3)
+
+
+def test_offline_resample_sine_preserved():
+    src, dst, freq = 48000, 44100, 1000.0
+    t = np.arange(24000, dtype=np.float32)
+    x = np.sin(2 * np.pi * freq * t / src).astype(np.float32)
+    out = resample_channel(x, src, dst)
+    g = 40
+    t2 = np.arange(len(out), dtype=np.float32)
+    want = np.sin(2 * np.pi * freq * t2 / dst)
+    assert np.abs(out[g:-g] - want[g:-g]).max() < 1e-2
+
+
+def test_offline_resample_rejects_above_nyquist():
+    src, dst = 48000, 16000
+    t = np.arange(24000, dtype=np.float32)
+    x = np.sin(2 * np.pi * 12000.0 * t / src).astype(np.float32)
+    out = resample_channel(x, src, dst)
+    g = 40
+    assert np.abs(out[g:-g]).max() < 0.1
+
+
+def test_offline_resample_lengths():
+    x = np.zeros(1000, np.float32)
+    assert len(resample_channel(x, 48000, 24000)) == 500
+    assert len(resample_channel(x, 24000, 48000)) == 2000
+    assert len(resample_channel(x, 48000, 48000)) == 1000
+
+
+def test_signal_edge_into_asset_input_rejected():
+    from oscen_tpu import Gain, GraphError
+    g = Graph("Bad")
+    g.output("out", "stream")
+    gn = g.add("g", Gain(1.0))
+    cv = g.add("c", Convolver(max_ir_len=32))
+    g.connect(gn.output, "out")
+    g.connect(gn.output, cv.ir)
+    with pytest.raises(GraphError):
+        g.lower()
