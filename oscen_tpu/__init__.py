@@ -29,6 +29,7 @@ from .nodes.filters import IirLowpass, LP18Filter, TptFilter
 from .nodes.midi import (EventPassthrough, MidiParser, MidiVoiceHandler,
                          midi_note_to_freq, raw_midi_event)
 from .nodes.oscillators import Oscillator, PolyBlepOscillator
+from .nodes.oscilloscope import Oscilloscope
 from .nodes.sample_player import SamplePlayer
 from .nodes.voice_allocator import VoiceAllocator
 
@@ -41,7 +42,8 @@ __all__ = [
     "EventPassthrough", "FmOperator", "Frame", "Gain", "Graph",
     "GraphError", "HardClip", "HostNode", "IirLowpass", "Kind",
     "LP18Filter", "MidiParser", "MidiVoiceHandler", "Mixer", "Node",
-    "NoteOffEvent", "NoteOnEvent", "Oscillator", "ParamSpec",
+    "NoteOffEvent", "NoteOnEvent", "Oscillator", "Oscilloscope",
+    "ParamSpec",
     "PolyBlepOscillator", "Policy", "RawMidiMessage", "SampleRate",
     "Tremolo", "Value", "ValueRampState", "VoiceAllocator", "call",
     "midi_note_to_freq", "raw_midi_event", "scalar_event",

@@ -905,6 +905,22 @@ class CompiledGraph:
         return {k: jnp.reshape(v, (-1,) + v.shape[2:])
                 for k, v in outs.items()}
 
+    def node_state(self, name: str):
+        """Read a node's current state pytree (all node state is
+        inspectable, like the reference's public generated fields)."""
+        return self.state[name]
+
+    def latency_samples(self) -> int:
+        """Total base-rate latency introduced by cross-rate Down edges
+        (reference emit_struct.rs:534-570: sum of down-kernel latency
+        divided by the rate factor)."""
+        total = 0
+        for idx, kern in self.prog.resamplers.items():
+            e = self.ir.edges[idx]
+            if e.kernel == EdgeKernel.DOWN:
+                total += kern.latency_samples() // e.rate_factor
+        return total
+
     def render_mono(self, num_frames: int, **kw) -> np.ndarray:
         outs = self.render(num_frames, **kw)
         if len(outs) != 1:
