@@ -40,12 +40,19 @@ def resample_channel(x: np.ndarray, src_rate: int,
     """Arbitrary-ratio windowed-sinc resample of one channel.
 
     DC maps to DC at unity gain; downsampling band-limits to the
-    destination Nyquist.  O(out_len * kernel_len), vectorized.
+    destination Nyquist.  Dispatches to the native C++ kernel
+    (native/oscen_host.cpp) when available; the vectorized NumPy path
+    below is the fallback and the parity reference.
     """
     assert src_rate > 0 and dst_rate > 0
     x = np.asarray(x, np.float32)
     if x.size == 0 or src_rate == dst_rate:
         return x.copy()
+
+    from ..utils.native import resample_channel_native
+    native = resample_channel_native(x, int(src_rate), int(dst_rate))
+    if native is not None:
+        return native
 
     ratio = dst_rate / src_rate
     out_len = int(round(len(x) * ratio))
