@@ -56,6 +56,49 @@ _P_TABLE[1:] = np.cumprod(
     / INTERPOLATION_STEPS)
 
 
+def _complex_pow_tables(z_re, z_im, max_exp: int):
+    """Power tables for z^e, e in [0, max_exp], split into low (e & 15)
+    and high (e >> 4) factors so per-sample rotations become two gathers
+    and one complex multiply instead of sin/cos — the per-element
+    transcendental cost is what bounds the additive voice on the VPU."""
+    def cum(zr, zi, n):
+        zr_s = jnp.broadcast_to(zr, (n,) + zr.shape)
+        zi_s = jnp.broadcast_to(zi, (n,) + zi.shape)
+
+        def comb(a, b):
+            ar, ai = a
+            br, bi = b
+            return (ar * br - ai * bi, ar * bi + ai * br)
+        return jax.lax.associative_scan(comb, (zr_s, zi_s), axis=0)
+
+    ones = jnp.ones((1,) + z_re.shape, jnp.float32)
+    zeros = jnp.zeros((1,) + z_im.shape, jnp.float32)
+    lo_r, lo_i = cum(z_re, z_im, 15)            # z^1..z^15
+    lo_r = jnp.concatenate([ones, lo_r], axis=0)   # z^0..z^15
+    lo_i = jnp.concatenate([zeros, lo_i], axis=0)
+    # z^16 then (z^16)^1..^n_hi
+    z16_r, z16_i = lo_r[-1] * z_re - lo_i[-1] * z_im, \
+        lo_r[-1] * z_im + lo_i[-1] * z_re
+    n_hi = (max_exp >> 4) + 1
+    hi_r, hi_i = cum(z16_r, z16_i, n_hi)
+    hi_r = jnp.concatenate([ones, hi_r], axis=0)
+    hi_i = jnp.concatenate([zeros, hi_i], axis=0)
+    return lo_r, lo_i, hi_r, hi_i
+
+
+def _pow_gather(tables, e):
+    """z^e via the split tables; ``e`` int32 [B, 1] broadcasting against
+    the trailing table axes."""
+    lo_r, lo_i, hi_r, hi_i = tables
+    el = e & 15
+    eh = e >> 4
+    lr = lo_r[el[:, 0]]
+    li = lo_i[el[:, 0]]
+    hr = hi_r[eh[:, 0]]
+    hi_ = hi_i[eh[:, 0]]
+    return lr * hr - li * hi_, lr * hi_ + li * hr
+
+
 class OscillatorBank(Node):
     """32-harmonic additive oscillator via complex rotation."""
 
@@ -139,7 +182,6 @@ class OscillatorBank(Node):
             re0 = jnp.where(changed, 1.0, re0)
             im0 = jnp.where(changed, 0.0, im0)
             last = jnp.where(changed, f, last)
-            theta = jnp.arctan2(mim, mre)  # [H]
 
             if j < K:
                 fired = jnp.logical_and(buf.valid[..., j],
@@ -151,18 +193,21 @@ class OscillatorBank(Node):
             else:
                 end = jnp.float32(B)
 
-            k = t_idx - seg_start  # [B,1]
-            ang = (k + 1.0) * theta[None, :]
-            c, s = jnp.cos(ang), jnp.sin(ang)
-            seg_im = re0[None, :] * s + im0[None, :] * c
+            # rotation powers via split tables (two gathers + one complex
+            # multiply per element, instead of per-element sin/cos)
+            tables = _complex_pow_tables(mre, mim, B)
+            k = t_idx - seg_start  # [B,1] float
+            e = jnp.clip(k + 1.0, 0.0, float(B)).astype(jnp.int32)
+            wr, wi = _pow_gather(tables, e)  # [B, H]
+            seg_im = re0[None, :] * wi + im0[None, :] * wr
             mask = jnp.logical_and(t_idx >= seg_start, t_idx < end)
             out_im = jnp.where(mask, seg_im, out_im)
             # state at segment end
             n_seg = jnp.maximum(end - seg_start, 0.0)
-            ang_e = n_seg * theta
-            ce, se = jnp.cos(ang_e), jnp.sin(ang_e)
-            end_re = jnp.where(n_seg > 0, re0 * ce - im0 * se, re0)
-            end_im = jnp.where(n_seg > 0, re0 * se + im0 * ce, im0)
+            er, ei = _pow_gather(
+                tables, jnp.reshape(n_seg.astype(jnp.int32), (1, 1)))
+            end_re = jnp.where(n_seg > 0, re0 * er[0] - im0 * ei[0], re0)
+            end_im = jnp.where(n_seg > 0, re0 * ei[0] + im0 * er[0], im0)
             if j < K:
                 # gate-on at `end` resets phase before that sample runs
                 re0 = jnp.where(fired, jnp.ones_like(end_re), end_re)
@@ -278,6 +323,16 @@ class AmplitudeSource(Node):
             frac0 = cycle_factor(m, st["step"])
             return st["current"] / jnp.maximum(frac0, 1e-30)
 
+        n_max = (INTERPOLATION_STEPS + B) // CYCLE + 2
+
+        def m_pow_table(m):
+            """m^0..m^n_max via a short scan — replaces per-element
+            exp(n log m) (the transcendental cost dominates the VPU)."""
+            ms = jnp.broadcast_to(m, (n_max,) + m.shape)
+            cums = jax.lax.associative_scan(jnp.multiply, ms, axis=0)
+            return jnp.concatenate([jnp.ones((1,) + m.shape, jnp.float32),
+                                    cums], axis=0)
+
         def seg_eval(st, k):
             """amplitudes after k+1 ticks from state st (k [B,1] >= 0)."""
             m = jnp.where(st["released"], st["release"], st["decay"])
@@ -285,7 +340,10 @@ class AmplitudeSource(Node):
             a = st["step"].astype(jnp.float32) + k + 1.0
             n = jnp.floor(a / CYCLE)
             jj = a - n * CYCLE
-            mn = jnp.exp(n * jnp.log(jnp.maximum(m, 1e-30)))
+            table = m_pow_table(m)
+            mn = table[jnp.clip(n.astype(jnp.int32), 0, n_max)[:, 0]] \
+                if n.ndim == 2 else table[jnp.clip(
+                    n.astype(jnp.int32), 0, n_max)]
             return c_base * mn * cycle_factor(m, jj)
 
         def seg_end_state(st, n_ticks):
