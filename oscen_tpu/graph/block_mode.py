@@ -249,7 +249,16 @@ def make_block_fn(prog, block_len: int):
                        and f"{name}.{ep.name}" in ev_bufs
                        and ev_bufs[f"{name}.{ep.name}"].capacity > 0}
                 st = new_state[name]
-                if inst.count > 1:
+                batched = None
+                if inst.count > 1 and not evs and hasattr(
+                        node, "process_block_batched"):
+                    # voice-batched fast path (e.g. one Pallas kernel
+                    # across all instances) — None falls back to vmap
+                    batched = node.process_block_batched(
+                        st, ins, evs, sr, Bn)
+                if batched is not None:
+                    st, outs = batched
+                elif inst.count > 1:
                     st, outs = jax.vmap(
                         lambda s, i, ev: node.process_block(
                             s, i, ev, sr, Bn),

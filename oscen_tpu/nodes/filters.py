@@ -155,6 +155,37 @@ class TptFilter(Node):
                      "z0": z0s[-1], "z1": z1s[-1]}
         return new_state, {"output": y}
 
+    def process_block_batched(self, state, ins, events, sr, block_len):
+        """Voice-batched block path: ONE Pallas kernel over all instances
+        (sequential-in-time, voices in lanes — exact reference op order,
+        ops/pallas/iir.py).  Only used by the block-mode compiler on TPU
+        for mono node arrays; returns None to fall back otherwise."""
+        if self.channels != 1 or jax.default_backend() != "tpu":
+            return None
+        from ..ops.pallas.iir import tpt_svf_scan
+        B = block_len
+
+        def coefs(st, i):
+            return self._apply_parameter_updates(
+                {**st,
+                 "current_cutoff": jnp.broadcast_to(st["current_cutoff"],
+                                                    (B,)),
+                 "current_q": jnp.broadcast_to(st["current_q"], (B,))},
+                i, sr.hz)
+
+        st2 = jax.vmap(coefs)(state, ins)  # h/g/k: [C, B]
+        x = jnp.moveaxis(ins["input"], 0, 1)  # [B, C]
+        y, z0, z1 = tpt_svf_scan(
+            x, jnp.moveaxis(st2["h"], 0, 1), jnp.moveaxis(st2["g"], 0, 1),
+            jnp.moveaxis(st2["k"], 0, 1), state["z0"], state["z1"])
+        new_state = {**state,
+                     "current_cutoff": st2["current_cutoff"][:, -1],
+                     "current_q": st2["current_q"][:, -1],
+                     "h": st2["h"][:, -1], "g": st2["g"][:, -1],
+                     "r": st2["r"][:, -1], "k": st2["k"][:, -1],
+                     "z0": z0, "z1": z1}
+        return new_state, {"output": jnp.moveaxis(y, 0, 1)}
+
 
 class IirLowpass(Node):
     """JUCE-style biquad lowpass, Direct Form II Transposed."""

@@ -1,0 +1,150 @@
+"""Pallas TPU kernels: sequential-in-time, parallel-in-voice recurrences.
+
+The associative-scan formulations (ops/scan.py) parallelize the time axis
+at the cost of f32 reassociation.  These kernels instead keep the
+reference's exact per-sample op order (bit-parity with ``tick``) and
+parallelize across the *voice* axis in VPU lanes — the layout SURVEY §7
+flags as the likely winner for voice counts ≫ 1: the filter state lives in
+registers, the block streams through VMEM, and each time step is a handful
+of elementwise ops on a ``[1, V]`` vector.
+
+Layout: time-major ``[B, V]`` with voices in the lane (last) dimension.
+``V`` must be a multiple of 128 and ``B`` a multiple of 8 (TPU tiling);
+wrappers pad.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["tpt_svf_scan", "biquad_scan"]
+
+
+def _pad_to(x, mult, axis):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x, n
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), n
+
+
+# --------------------------------------------------------------------- #
+def _tpt_kernel(x_ref, h_ref, g_ref, k_ref, z0_ref, z1_ref,
+                y_ref, z0o_ref, z1o_ref):
+    B = x_ref.shape[0]
+    const_coef = h_ref.shape[0] == 1
+
+    def body(t, carry):
+        z0, z1 = carry
+        x = x_ref[pl.ds(t, 1), :]
+        if const_coef:
+            h = h_ref[:]
+            g = g_ref[:]
+            k = k_ref[:]
+        else:
+            h = h_ref[pl.ds(t, 1), :]
+            g = g_ref[pl.ds(t, 1), :]
+            k = k_ref[pl.ds(t, 1), :]
+        # exact reference op order (filters/tpt/mod.rs:108-123)
+        high = (x - z0 * k - z1) * h
+        band = high * g + z0
+        low = band * g + z1
+        y_ref[pl.ds(t, 1), :] = low
+        return (high * g + band, band * g + low)
+
+    z0, z1 = jax.lax.fori_loop(0, B, body, (z0_ref[:], z1_ref[:]))
+    z0o_ref[:] = z0
+    z1o_ref[:] = z1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tpt_svf_scan(x, h, g, k, z0, z1, interpret: bool = False):
+    """Zavalishin TPT SVF lowpass over a block, voice-parallel.
+
+    Args: x ``[B, V]`` time-major; h/g/k ``[V]`` block-constant or
+    ``[B, V]`` per-sample coefficients; z0/z1 ``[V]`` integrator states.
+    Returns (y ``[B, V]``, z0', z1') — bit-parity with the per-sample tick.
+    """
+    xp, B = _pad_to(x, 8, 0)
+    xp, V = _pad_to(xp, 128, 1)
+
+    def coef(v):
+        v = jnp.asarray(v)
+        if v.ndim == 2:  # per-sample [B, V]
+            c, _ = _pad_to(v, 8, 0)
+            c, _ = _pad_to(c, 128, 1)
+            return c
+        r, _ = _pad_to(jnp.reshape(v, (1, -1)), 128, 1)
+        return r
+
+    def row(v):
+        r, _ = _pad_to(jnp.reshape(v, (1, -1)), 128, 1)
+        return r
+
+    y, z0o, z1o = pl.pallas_call(
+        _tpt_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(xp.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        interpret=interpret,
+    )(xp, coef(h), coef(g), coef(k), row(z0), row(z1))
+    return y[:B, :V], z0o[0, :V], z1o[0, :V]
+
+
+# --------------------------------------------------------------------- #
+def _biquad_kernel(x_ref, b0_ref, b1_ref, b2_ref, a1_ref, a2_ref,
+                   v1_ref, v2_ref, y_ref, v1o_ref, v2o_ref):
+    b0 = b0_ref[:]
+    b1 = b1_ref[:]
+    b2 = b2_ref[:]
+    a1 = a1_ref[:]
+    a2 = a2_ref[:]
+    B = x_ref.shape[0]
+
+    def body(t, carry):
+        v1, v2 = carry
+        x = x_ref[pl.ds(t, 1), :]
+        # Direct Form II Transposed (iir_lowpass/mod.rs:109-132)
+        out = b0 * x + v1
+        y_ref[pl.ds(t, 1), :] = out
+        return (b1 * x - a1 * out + v2, b2 * x - a2 * out)
+
+    v1, v2 = jax.lax.fori_loop(0, B, body, (v1_ref[:], v2_ref[:]))
+    v1o_ref[:] = v1
+    v2o_ref[:] = v2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def biquad_scan(x, b0, b1, b2, a1, a2, v1, v2, interpret: bool = False):
+    """Biquad (DFII-t) over a block, voice-parallel; bit-parity with the
+    per-sample tick (minus denormal snaps — TPU flushes denormals)."""
+    xp, B = _pad_to(x, 8, 0)
+    xp, V = _pad_to(xp, 128, 1)
+
+    def row(v):
+        r, _ = _pad_to(jnp.reshape(v, (1, -1)), 128, 1)
+        return r
+
+    y, v1o, v2o = pl.pallas_call(
+        _biquad_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(xp.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        interpret=interpret,
+    )(xp, row(b0), row(b1), row(b2), row(a1), row(a2), row(v1), row(v2))
+    return y[:B, :V], v1o[0, :V], v2o[0, :V]
