@@ -141,3 +141,26 @@ def test_checkpoint_restore():
     c.state = jax.tree_util.tree_map(lambda x: x, saved)
     b = c.render_mono(512)
     np.testing.assert_array_equal(a, b)
+
+
+def test_twin_peaks_band_response():
+    """Difference of two LP18s passes the band between the cutoffs
+    (nih-twin-peaks lib.rs:15-48)."""
+    from oscen_tpu.models.twin_peaks import build_twin_peaks
+
+    c = build_twin_peaks().compile(48000.0, block_size=512)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16384).astype(np.float32) * 0.3
+    out = c.render_mono(16384, stream_inputs={"audio_in": x})[2048:]
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    ref = np.abs(np.fft.rfft(x[2048:] * np.hanning(len(out))))
+    freqs = np.fft.rfftfreq(len(out), 1 / 48000.0)
+    h = spec / np.maximum(ref, 1e-9)
+    band = h[(freqs > 400) & (freqs < 2000)].mean()
+    low = h[(freqs > 50) & (freqs < 300)].mean()
+    high = h[(freqs > 8000) & (freqs < 16000)].mean()
+    # the resonant band between/around the cutoffs passes; lows cancel
+    # (both filters pass them equally, the difference removes them);
+    # highs roll off at 18 dB/oct
+    assert band > 3 * low, (band, low)
+    assert band > 100 * high, (band, high)
