@@ -46,7 +46,12 @@ def build_voice() -> Graph:
     return g
 
 
-def build_electric_piano(num_voices: int = 16) -> Graph:
+def build_electric_piano(num_voices: int = 16,
+                         fused: bool = True) -> Graph:
+    """``fused=True`` uses the single fused voice node (one Pallas kernel
+    across all voices on TPU); ``fused=False`` uses the two-node subgraph
+    exactly as the reference structures it.  Both are equivalence-tested.
+    """
     g = Graph(f"ElectricPiano{num_voices}")
     g.input("midi_in", "event")
     g.input("brightness", "value", default=30.0)
@@ -65,7 +70,11 @@ def build_electric_piano(num_voices: int = 16) -> Graph:
     alloc = g.add("voice_allocator", VoiceAllocator(num_voices))
     handlers = g.add("voice_handlers", MidiVoiceHandler(),
                      count=num_voices)
-    voices = g.add("voices", build_voice(), count=num_voices)
+    if fused:
+        from ..nodes.electric_piano import ElectricPianoVoice
+        voices = g.add("voices", ElectricPianoVoice(), count=num_voices)
+    else:
+        voices = g.add("voices", build_voice(), count=num_voices)
     trem = g.add("tremolo", Tremolo())
 
     g.connect("midi_in", parser.midi_in)

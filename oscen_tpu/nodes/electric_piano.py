@@ -387,3 +387,89 @@ class AmplitudeSource(Node):
                     st)
                 start = end
         return st, {"amplitudes": amps}
+
+
+class ElectricPianoVoice(Node):
+    """Fused additive voice: AmplitudeSource → OscillatorBank composed in
+    one node (the reference's ElectricPianoVoiceNode subgraph,
+    electric_piano_voice.rs:362-403, as a single processor).
+
+    Event-free blocks on TPU run the **fused Pallas kernel**
+    (ops/pallas/additive.py): the whole per-sample voice algorithm in one
+    kernel, all voices in lanes, exact reference op order, no [V, B, H]
+    intermediates in HBM.  Event blocks and other platforms compose the
+    two nodes' implementations.
+    """
+
+    OUTPUTS = (stream("output"),)
+
+    def __init__(self):
+        self._amp = AmplitudeSource()
+        self._bank = OscillatorBank()
+        self.INPUTS = self._amp.INPUTS  # frequency, gate, 6 params
+
+    def init_state(self, sr: SampleRate):
+        return {"amp": self._amp.init_state(sr),
+                "bank": self._bank.init_state(sr)}
+
+    def on_gate(self, state, velocity, sr, ins):
+        return {"amp": self._amp.on_gate(state["amp"], velocity, sr, ins),
+                "bank": self._bank.on_gate(state["bank"], velocity, sr,
+                                           ins)}
+
+    def _split_ins(self, ins, amps):
+        bank_ins = {"frequency": ins["frequency"], "amplitudes": amps}
+        return ins, bank_ins
+
+    def tick(self, state, ins, sr):
+        amp_st, amp_out = self._amp.tick(state["amp"], ins, sr)
+        bank_ins = {"frequency": ins["frequency"],
+                    "amplitudes": amp_out["amplitudes"]}
+        bank_st, out = self._bank.tick(state["bank"], bank_ins, sr)
+        return ({"amp": amp_st, "bank": bank_st},
+                {"output": out["output"]})
+
+    def process_block(self, state, ins, events, sr, block_len):
+        amp_st, amp_out = self._amp.process_block(
+            state["amp"], ins, events, sr, block_len)
+        bank_ins = {"frequency": ins["frequency"],
+                    "amplitudes": amp_out["amplitudes"]}
+        bank_st, out = self._bank.process_block(
+            state["bank"], bank_ins, events, sr, block_len)
+        return ({"amp": amp_st, "bank": bank_st},
+                {"output": out["output"]})
+
+    def process_block_batched(self, state, ins, events, sr, block_len):
+        """All voices through ONE fused Pallas kernel (TPU, no events)."""
+        if jax.default_backend() != "tpu":
+            return None
+        from ..ops.pallas.additive import additive_voice_block
+
+        bank = state["bank"]
+        amp = state["amp"]
+        freq = ins["frequency"][:, 0]  # [C] (block-constant, no events)
+        changed = jnp.logical_and(
+            freq > 0.0, jnp.abs(bank["last_frequency"] - freq) >= 0.01)
+        n_mre, n_mim = jax.vmap(
+            lambda f: OscillatorBank._multipliers(f, sr.hz))(freq)
+        ch = changed[:, None]
+        mre = jnp.where(ch, n_mre, bank["mul_re"])
+        mim = jnp.where(ch, n_mim, bank["mul_im"])
+        ore = jnp.where(ch, 1.0, bank["osc_re"])
+        oim = jnp.where(ch, 0.0, bank["osc_im"])
+        last = jnp.where(changed, freq, bank["last_frequency"])
+
+        mult = jnp.where(amp["released"][:, None], amp["release"],
+                         amp["decay"])
+        y, or_o, oi_o, cur_o, tgt_o, step_o = additive_voice_block(
+            ore.T, oim.T, mre.T, mim.T,
+            amp["current"].T, amp["target"].T, mult.T,
+            amp["step"], block_len)
+        new_state = {
+            "bank": {**bank, "osc_re": or_o.T, "osc_im": oi_o.T,
+                     "mul_re": mre, "mul_im": mim,
+                     "last_frequency": last},
+            "amp": {**amp, "current": cur_o.T, "target": tgt_o.T,
+                    "step": step_o.astype(jnp.int32)},
+        }
+        return new_state, {"output": y.T}

@@ -1,0 +1,100 @@
+"""Fused Pallas kernel for the electric-piano additive voice.
+
+Runs the reference voice algorithm (AmplitudeSource →
+OscillatorBank, electric_piano_voice.rs) sample by sample *inside one
+kernel*, all voices in VPU lanes and all 32 harmonics in sublanes: per
+step, the per-harmonic envelope interpolation, the complex rotation, and
+the harmonic reduction — with no [V, B, H] intermediates ever touching
+HBM, and the exact per-sample op order of the reference.
+
+Steady-state only (no gate events, constant frequency within the block) —
+the compiler falls back to the segmented closed forms for event blocks.
+
+Layout: state planes ``[H, V]`` (harmonics in sublanes, voices in lanes);
+the per-voice interpolation step counter is a ``[1, V]`` row broadcast
+over sublanes.  Output ``[B, V]``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INTERP = 64.0
+
+
+def _kernel(or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
+            step_ref, y_ref, or_o, oi_o, cur_o, tgt_o, step_o):
+    mr = mr_ref[:]
+    mi = mi_ref[:]
+    mult = mult_ref[:]
+    B = y_ref.shape[0]
+
+    def body(t, carry):
+        osc_r, osc_i, cur, tgt, s = carry
+        # --- AmplitudeSource::process (electric_piano_voice.rs:308-338):
+        # at step 0 recompute the cycle target; blend toward it; the
+        # settle tick (s == 64) snaps and wraps.
+        tgt = jnp.where(s == 0.0, cur * mult, tgt)
+        interp = s < INTERP
+        tau = (s + 1.0) / INTERP
+        cur = jnp.where(interp, cur * (1.0 - tau) + tgt * tau, tgt)
+        s = jnp.where(interp, s + 1.0, 0.0)
+        # --- OscillatorBank::process (:158-170): one complex rotation per
+        # harmonic, then the amplitude-weighted imaginary-part sum.
+        nr = osc_r * mr - osc_i * mi
+        ni = osc_r * mi + osc_i * mr
+        y_ref[pl.ds(t, 1), :] = jnp.sum(ni * cur, axis=0,
+                                        keepdims=True) * 3.0
+        return (nr, ni, cur, tgt, s)
+
+    osc_r, osc_i, cur, tgt, s = jax.lax.fori_loop(
+        0, B, body,
+        (or_ref[:], oi_ref[:], cur_ref[:], tgt_ref[:], step_ref[:]))
+    or_o[:] = osc_r
+    oi_o[:] = osc_i
+    cur_o[:] = cur
+    tgt_o[:] = tgt
+    step_o[:] = s
+
+
+@functools.partial(jax.jit, static_argnames=("block_len", "interpret"))
+def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
+                         step, block_len: int, interpret: bool = False):
+    """One steady-state block of the fused additive voice.
+
+    Args (all ``[H, V]`` except ``step`` ``[V]``): oscillator complex
+    state + rotation multipliers, envelope current/target/multiplier
+    planes, per-voice interpolation step counter.
+    Returns (y ``[B, V]``, new osc_re, osc_im, cur, tgt, step).
+    """
+    H, V = osc_re.shape
+    padV = (-V) % 128
+    padH = (-H) % 8
+
+    def pad(x):
+        return jnp.pad(x, ((0, padH), (0, padV)))
+
+    step_row = jnp.pad(jnp.reshape(step.astype(jnp.float32), (1, -1)),
+                       ((0, 0), (0, padV)))
+    Hp, Vp = H + padH, V + padV
+
+    plane = jax.ShapeDtypeStruct((Hp, Vp), jnp.float32)
+    y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
+        _kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((block_len, Vp), jnp.float32),
+            plane, plane, plane, plane,
+            jax.ShapeDtypeStruct((1, Vp), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 6,
+        interpret=interpret,
+    )(pad(osc_re), pad(osc_im), pad(mul_re), pad(mul_im), pad(cur),
+      pad(tgt), pad(mult), step_row)
+    return (y[:, :V], or_o[:H, :V], oi_o[:H, :V], cur_o[:H, :V],
+            tgt_o[:H, :V], step_o[0, :V])

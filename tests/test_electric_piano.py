@@ -120,3 +120,76 @@ def test_electric_piano_modes_agree():
     b = run("block")
     rms = np.sqrt(np.mean((a - b) ** 2))
     assert rms < 2e-3, rms
+
+
+def test_fused_voice_matches_subgraph():
+    """The fused ElectricPianoVoice node equals the two-node subgraph
+    (composition path on CPU) with mid-block gate events."""
+    from oscen_tpu.models.electric_piano import build_electric_piano
+
+    def run(fused, mode):
+        p = build_electric_piano(4, fused=fused).compile(
+            48000.0, block_size=256, mode=mode)
+        p.queue_event("midi_in", 10, raw_midi_event([0x90, 60, 100]))
+        p.queue_event("midi_in", 100, raw_midi_event([0x90, 64, 90]))
+        blocks = [np.asarray(p.process_block()["out"])]
+        p.queue_event("midi_in", 0, raw_midi_event([0x80, 60, 0]))
+        blocks += [np.asarray(p.process_block()["out"])
+                   for _ in range(3)]
+        return np.concatenate(blocks)
+
+    for mode in ("sample", "block"):
+        a = run(False, mode)
+        b = run(True, mode)
+        rms = np.sqrt(np.mean((a - b) ** 2))
+        assert rms < 1e-5, (mode, rms)
+
+
+def test_fused_kernel_interpret_matches_composition():
+    """The Pallas fused kernel (interpret mode) equals the composed
+    closed forms for a steady event-free block."""
+    import jax
+    import jax.numpy as jnp
+    from oscen_tpu import SampleRate
+    from oscen_tpu.nodes.electric_piano import ElectricPianoVoice
+    from oscen_tpu.ops.pallas.additive import additive_voice_block
+
+    sr = SampleRate(48000.0)
+    node = ElectricPianoVoice()
+    C, B = 3, 128
+    st = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x),
+                                   (C,) + jnp.shape(jnp.asarray(x))).copy(),
+        node.init_state(sr))
+    ins1 = node.default_inputs()
+    # trigger all voices (host-style: apply the handler directly)
+    st = jax.vmap(lambda s: node.on_gate(s, jnp.float32(0.9), sr, ins1))(st)
+    ins = {k: jnp.broadcast_to(v, (C, B)) for k, v in ins1.items()
+           if not hasattr(v, "keys")}
+    ins["frequency"] = jnp.broadcast_to(
+        jnp.array([220.0, 440.0, 880.0])[:, None], (C, B))
+
+    # composition (vmapped per instance)
+    st_a, out_a = jax.vmap(
+        lambda s, i: node.process_block(s, i, {}, sr, B))(st, ins)
+
+    # fused kernel in interpret mode
+    bank, amp = st["bank"], st["amp"]
+    freq = ins["frequency"][:, 0]
+    from oscen_tpu.nodes.electric_piano import OscillatorBank
+    n_mre, n_mim = jax.vmap(
+        lambda f: OscillatorBank._multipliers(f, sr.hz))(freq)
+    changed = jnp.logical_and(
+        freq > 0.0, jnp.abs(bank["last_frequency"] - freq) >= 0.01)
+    ch = changed[:, None]
+    mre = jnp.where(ch, n_mre, bank["mul_re"])
+    mim = jnp.where(ch, n_mim, bank["mul_im"])
+    ore = jnp.where(ch, 1.0, bank["osc_re"])
+    oim = jnp.where(ch, 0.0, bank["osc_im"])
+    mult = jnp.where(amp["released"][:, None], amp["release"],
+                     amp["decay"])
+    y, *_ = additive_voice_block(
+        ore.T, oim.T, mre.T, mim.T, amp["current"].T, amp["target"].T,
+        mult.T, amp["step"], B, interpret=True)
+    np.testing.assert_allclose(np.asarray(y.T), np.asarray(out_a["output"]),
+                               atol=1e-4)
