@@ -28,7 +28,7 @@ def main():
 
     NUM_VOICES = 256
     SR = 48_000.0
-    BLOCK = 512
+    BLOCK = 1024  # offline-render block size (amortizes per-block overhead)
     mode = "block"
     model = "electric_piano"
     for a in sys.argv[1:]:
@@ -54,18 +54,25 @@ def main():
     out = synth.process_block()
     jax.block_until_ready(audio_of(out))
 
-    n_blocks = 256
-    out = synth.render_steady(n_blocks)  # warmup/compile
-    jax.block_until_ready(audio_of(out))
-    # best-of-3: the axon tunnel adds 2-3x run-to-run variance
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = synth.render_steady(n_blocks)
-        jax.block_until_ready(audio_of(out))
-        dt = min(dt, time.perf_counter() - t0)
+    # The tunnel to the chip has a large, fluctuating round-trip latency
+    # (0.1-30 ms observed) and limited bandwidth.  steady_checksum renders
+    # on device and fetches only a 4-byte energy checksum (forcing all
+    # compute); timing two span lengths and subtracting cancels the RTT,
+    # leaving pure chip throughput.  best-of-3 on top.
+    n_small, n_large = 256, 2048
+    for n in (n_small, n_large):  # warmup/compile both variants
+        synth.steady_checksum(n)
 
-    frames = n_blocks * BLOCK
+    def span(n):
+        t0 = time.perf_counter()
+        synth.steady_checksum(n)
+        return time.perf_counter() - t0
+
+    # median of 5 differences: unbiased under fluctuating RTT (min-of-N
+    # would systematically overestimate throughput)
+    diffs = sorted(span(n_large) - span(n_small) for _ in range(5))
+    dt = max(diffs[2], 1e-9)
+    frames = (n_large - n_small) * BLOCK
     rtf = (frames / SR) / dt  # x real time
     result = {
         "metric": f"{model}_{NUM_VOICES}v_rtf_48k",

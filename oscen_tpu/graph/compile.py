@@ -921,6 +921,49 @@ class CompiledGraph:
                 total += kern.latency_samples() // e.rate_factor
         return total
 
+    def steady_checksum(self, num_blocks: int,
+                        block_len: Optional[int] = None) -> float:
+        """Render ``num_blocks`` steady-state blocks on device and return
+        only a scalar energy checksum.  The measurement primitive for
+        remote chips: all compute is forced (the checksum depends on every
+        sample) while transfer is 4 bytes, so timing two span lengths and
+        subtracting yields pure chip throughput independent of link RTT
+        and bandwidth."""
+        B = int(block_len or self.block_size)
+        ev_bufs, host_vals = self._host_prepass(B)
+        per_block: Dict[str, Any] = {}
+        for gi in self.ir.inputs:
+            if gi.kind == Kind.VALUE:
+                per_block[gi.name] = jnp.asarray(
+                    self._params[gi.name].materialize_block(B))
+            elif gi.kind == Kind.STREAM:
+                shape = (B,) if gi.channels == 1 else (B, gi.channels)
+                per_block[gi.name] = jnp.zeros(shape, jnp.float32)
+        for k, arr in host_vals.items():
+            per_block[k] = jnp.asarray(arr)
+        ev_caps = tuple(sorted((k, v.capacity) for k, v in ev_bufs.items()))
+        key = ("steady_ck", self.mode, B, ev_caps,
+               tuple(sorted(per_block)), int(num_blocks))
+        fn = self._block_fn_cache.get(key)
+        if fn is None:
+            inner = self._get_block_fn(B, ev_caps, tuple(sorted(per_block)))
+            stream_outs = [o.name for o in self.ir.outputs
+                           if o.kind != Kind.EVENT]
+
+            def steady_ck(state, per_block, ev_bufs):
+                def body(st, _):
+                    st, outs = inner(st, per_block, ev_bufs)
+                    return st, sum(jnp.sum(outs[n] ** 2)
+                                   for n in stream_outs)
+                st, sums = jax.lax.scan(body, state, None,
+                                        length=num_blocks)
+                return st, jnp.sum(sums)
+
+            fn = jax.jit(steady_ck) if self._jit else steady_ck
+            self._block_fn_cache[key] = fn
+        self.state, ck = fn(self.state, per_block, ev_bufs)
+        return float(np.asarray(ck))
+
     def render_mono(self, num_frames: int, **kw) -> np.ndarray:
         outs = self.render(num_frames, **kw)
         if len(outs) != 1:

@@ -441,9 +441,9 @@ class ElectricPianoVoice(Node):
 
     def process_block_batched(self, state, ins, events, sr, block_len):
         """All voices through ONE fused Pallas kernel (TPU, no events)."""
-        if jax.default_backend() != "tpu":
+        from ..ops.pallas.additive import _UNROLL, additive_voice_block
+        if jax.default_backend() != "tpu" or block_len % _UNROLL:
             return None
-        from ..ops.pallas.additive import additive_voice_block
 
         bank = state["bank"]
         amp = state["amp"]

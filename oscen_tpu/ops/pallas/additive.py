@@ -27,6 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 INTERP = 64.0
 
 
+_UNROLL = 8  # samples per loop iteration (amortizes fori_loop overhead)
+
+
 def _kernel(or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
             step_ref, y_ref, or_o, oi_o, cur_o, tgt_o, step_o):
     mr = mr_ref[:]
@@ -34,26 +37,31 @@ def _kernel(or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
     mult = mult_ref[:]
     B = y_ref.shape[0]
 
-    def body(t, carry):
+    def sample(carry):
+        """One exact reference sample (electric_piano_voice.rs:308-338
+        envelope, :158-170 rotation); returns (carry', y_row)."""
         osc_r, osc_i, cur, tgt, s = carry
-        # --- AmplitudeSource::process (electric_piano_voice.rs:308-338):
-        # at step 0 recompute the cycle target; blend toward it; the
-        # settle tick (s == 64) snaps and wraps.
         tgt = jnp.where(s == 0.0, cur * mult, tgt)
         interp = s < INTERP
         tau = (s + 1.0) / INTERP
         cur = jnp.where(interp, cur * (1.0 - tau) + tgt * tau, tgt)
         s = jnp.where(interp, s + 1.0, 0.0)
-        # --- OscillatorBank::process (:158-170): one complex rotation per
-        # harmonic, then the amplitude-weighted imaginary-part sum.
         nr = osc_r * mr - osc_i * mi
         ni = osc_r * mi + osc_i * mr
-        y_ref[pl.ds(t, 1), :] = jnp.sum(ni * cur, axis=0,
-                                        keepdims=True) * 3.0
-        return (nr, ni, cur, tgt, s)
+        y = jnp.sum(ni * cur, axis=0, keepdims=True) * 3.0
+        return (nr, ni, cur, tgt, s), y
+
+    def body(i, carry):
+        rows = []
+        for _ in range(_UNROLL):
+            carry, y = sample(carry)
+            rows.append(y)
+        y_ref[pl.ds(i * _UNROLL, _UNROLL), :] = jnp.concatenate(rows,
+                                                                axis=0)
+        return carry
 
     osc_r, osc_i, cur, tgt, s = jax.lax.fori_loop(
-        0, B, body,
+        0, B // _UNROLL, body,
         (or_ref[:], oi_ref[:], cur_ref[:], tgt_ref[:], step_ref[:]))
     or_o[:] = osc_r
     oi_o[:] = osc_i
@@ -72,6 +80,10 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
     planes, per-voice interpolation step counter.
     Returns (y ``[B, V]``, new osc_re, osc_im, cur, tgt, step).
     """
+    if block_len % _UNROLL:
+        raise ValueError(
+            f"block_len must be a multiple of {_UNROLL} for the fused "
+            f"kernel (got {block_len})")
     H, V = osc_re.shape
     padV = (-V) % 128
     padH = (-H) % 8

@@ -1,0 +1,67 @@
+"""Realtime-safety analogue: no retracing / recompilation in the render
+loop.
+
+The reference's RT-safety story is allocation tracking on the audio thread
+(tests/realtime_safety.rs with assert_no_alloc).  The XLA equivalent: once
+warmed up, steady-state block processing must never trigger a new trace or
+compilation — parameter changes, event arrivals (within a capacity class)
+and asset hot-swaps all reuse the compiled executable.
+"""
+
+import numpy as np
+import pytest
+
+from oscen_tpu import AudioAsset, Convolver, Graph, raw_midi_event
+from oscen_tpu.models.poly_synth import build_poly_synth
+
+
+def _total_cache_size(compiled):
+    return sum(fn._cache_size() for fn in
+               compiled._block_fn_cache.values())
+
+
+def test_steady_state_never_recompiles():
+    s = build_poly_synth(4).compile(48000.0, block_size=128)
+    s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
+    s.process_block()          # event-block variant compiles
+    s.process_block()          # steady variant compiles
+    base = _total_cache_size(s)
+    for i in range(10):
+        s.set_value("cutoff", 1000.0 + 100.0 * i)  # live param changes
+        s.process_block()
+    assert _total_cache_size(s) == base, "steady-state retrace!"
+
+
+def test_event_blocks_reuse_capacity_classes():
+    """Event buffers pad to power-of-two capacities so event counts in the
+    same class reuse the compiled variant."""
+    s = build_poly_synth(4).compile(48000.0, block_size=128)
+    s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
+    s.process_block()
+    base = _total_cache_size(s)
+    # another single event -> same capacity class -> no recompile
+    s.queue_event("midi_in", 5, raw_midi_event([0x80, 60, 0]))
+    s.process_block()
+    assert _total_cache_size(s) == base
+
+
+def test_asset_hot_swap_does_not_retrace():
+    """Publishing a new IR replaces state functionally: same shapes, same
+    executable (the reference's allocation-free swap, realtime_safety.rs)."""
+    g = Graph("RT")
+    g.input("x", "stream")
+    g.output("out", "stream")
+    g.external("ir")
+    cv = g.add("c", Convolver(ir=[1.0], max_ir_len=64))
+    g.connect("ir", cv.ir)
+    g.connect("x", cv.input)
+    g.connect(cv.output, "out")
+    c = g.compile(48000.0, block_size=64)
+    x = np.ones(64, np.float32)
+    c.process_block(stream_inputs={"x": x})
+    base = _total_cache_size(c)
+    for k in range(3):
+        c.publish_asset("ir", AudioAsset.from_samples(
+            np.full(10, 0.5 * (k + 1), np.float32), 48000))
+        c.process_block(stream_inputs={"x": x})
+    assert _total_cache_size(c) == base
