@@ -32,10 +32,18 @@ class Delay(Node):
               value("feedback", 0.0))
     OUTPUTS = (stream("output"),)
 
-    def __init__(self, delay_samples: float = 0.0, feedback: float = 0.0):
+    def __init__(self, delay_samples: float = 0.0, feedback: float = 0.0,
+                 min_delay: int = 0):
+        """``min_delay`` (static, optional): a promise that the effective
+        delay never drops below this many samples.  It unlocks the
+        chunked block path — the feedback recurrence has a lag of
+        ``min_delay`` samples, so the block processes in vectorized
+        chunks of that size instead of a per-sample scan (delay values
+        are clamped to honor the promise)."""
         self.INPUTS = (stream("input", 0.0),
                        value("delay_samples", float(delay_samples)),
                        value("feedback", float(feedback)))
+        self.min_delay = int(min_delay)
 
     @classmethod
     def from_seconds(cls, delay_seconds: float, feedback: float,
@@ -62,8 +70,61 @@ class Delay(Node):
 
     def tick(self, state, ins, sr):
         delay, fb, counter = self._effective_params(state, ins)
+        if self.min_delay:
+            delay = jnp.maximum(delay, jnp.float32(self.min_delay))
         delayed = rb_get(state["buf"], state["write_pos"], delay)
         buf, wp = rb_push(state["buf"], state["write_pos"],
                           ins["input"] + delayed * fb)
         return ({"buf": buf, "write_pos": wp, "frame_counter": counter},
                 {"output": delayed})
+
+    def process_block(self, state, ins, events, sr, block_len):
+        """Chunked block path (requires ``min_delay``): the feedback loop
+        has a lag of at least ``min_delay`` samples, so chunks of
+        ``min_delay - 4`` samples (4 = Catmull-Rom margin + boundary) read
+        entirely from pre-chunk buffer contents and vectorize.  Falls back
+        to the per-sample scan without the promise."""
+        chunk = self.min_delay - 4
+        if chunk < 8 or block_len < chunk:
+            return super().process_block(state, ins, events, sr,
+                                         block_len)
+        import jax
+
+        B = block_len
+        n_full = B // chunk
+        rem = B - n_full * chunk
+        cap = state["buf"].shape[-1]
+        mask = cap - 1
+
+        x = ins["input"]
+        delay_in = jnp.maximum(
+            jnp.clip(ins["delay_samples"], 0.0, jnp.float32(cap - 1)),
+            jnp.float32(self.min_delay))
+        fb_in = jnp.clip(ins["feedback"], 0.0, 0.99)
+
+        def run_chunk(buf, wp, xi, d, f, n):
+            offs = jnp.arange(n, dtype=jnp.int32)
+            wps = wp + offs
+            delayed = jax.vmap(lambda w, dd: rb_get(buf, w, dd))(wps, d)
+            buf = buf.at[(wp + offs) & mask].set(xi + delayed * f)
+            return buf, (wp + n) & mask, delayed
+
+        def body(carry, xc):
+            buf, wp = carry
+            buf, wp, delayed = run_chunk(buf, wp, *xc, chunk)
+            return (buf, wp), delayed
+
+        xs = (x[:n_full * chunk].reshape(n_full, chunk),
+              delay_in[:n_full * chunk].reshape(n_full, chunk),
+              fb_in[:n_full * chunk].reshape(n_full, chunk))
+        (buf, wp), outs = jax.lax.scan(
+            body, (state["buf"], state["write_pos"]), xs)
+        y = outs.reshape(n_full * chunk)
+        if rem:
+            buf, wp, tail = run_chunk(buf, wp, x[-rem:], delay_in[-rem:],
+                                      fb_in[-rem:], rem)
+            y = jnp.concatenate([y, tail])
+        counter = (state["frame_counter"] + B) % FRAMES_PER_UPDATE
+        return ({"buf": buf, "write_pos": wp,
+                 "frame_counter": jnp.int32(counter)},
+                {"output": y})

@@ -134,3 +134,44 @@ def test_via_node_named_delay():
     nz = np.nonzero(np.abs(out) > 1e-6)[0]
     assert nz[0] == 0 and len(nz) >= 3
     assert abs(out[nz[1]] - 0.5) < 1e-6
+
+
+def test_chunked_delay_matches_scan():
+    """Delay(min_delay=N) unlocks the chunked block path; it must equal
+    the per-sample scan bit-for-bit (same reads, same op order)."""
+    def run(mode, min_delay):
+        g = Graph("CD")
+        g.input("x", "stream")
+        g.output("out", "stream")
+        d = g.add("d", Delay(150.0, 0.6, min_delay=min_delay))
+        g.connect("x", d.input)
+        g.connect(d.output, "out")
+        c = g.compile(48000.0, block_size=256, mode=mode)
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(1024).astype(np.float32)
+        return c.render_mono(1024, stream_inputs={"x": x})
+
+    a = run("sample", 0)        # per-sample reference
+    b = run("block", 64)        # chunked (chunk = 60)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    c = run("block", 0)         # scan fallback
+    np.testing.assert_array_equal(a, c)
+
+
+def test_chunked_delay_fractional():
+    """Fractional delays interpolate identically through the chunked
+    path (Catmull-Rom margin honored)."""
+    def run(mode, min_delay):
+        g = Graph("CDF")
+        g.input("x", "stream")
+        g.output("out", "stream")
+        d = g.add("d", Delay(77.25, 0.4, min_delay=min_delay))
+        g.connect("x", d.input)
+        g.connect(d.output, "out")
+        c = g.compile(48000.0, block_size=128, mode=mode)
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal(512).astype(np.float32)
+        return c.render_mono(512, stream_inputs={"x": x})
+
+    np.testing.assert_allclose(run("sample", 0), run("block", 40),
+                               atol=1e-6)
