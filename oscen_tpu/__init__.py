@@ -18,6 +18,7 @@ from .core.ramp import ValueRampState
 from .core.types import (DEFAULT_MAX_BLOCK_SIZE, Kind, ParamSpec, Policy,
                          SampleRate)
 from .graph.builder import Frame, Graph, GraphError, call
+from .graph.dsl import parse_graph
 from .graph.node import HostNode, Node
 from .nodes.basic import (AddValue, AudioInput, Crossfade, FmOperator, Gain,
                           HardClip, Mixer, Tremolo, Value)
@@ -46,5 +47,5 @@ __all__ = [
     "ParamSpec",
     "PolyBlepOscillator", "Policy", "RawMidiMessage", "SampleRate",
     "Tremolo", "Value", "ValueRampState", "VoiceAllocator", "call",
-    "midi_note_to_freq", "raw_midi_event", "scalar_event",
+    "midi_note_to_freq", "parse_graph", "raw_midi_event", "scalar_event",
 ]

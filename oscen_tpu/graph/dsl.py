@@ -1,0 +1,414 @@
+"""Textual graph DSL — the ``graph!`` macro syntax as a runtime parser.
+
+Accepts the reference's declarative syntax
+(/root/reference/oscen-graph-compiler/src/parse.rs) so reference users can
+paste graph bodies nearly verbatim:
+
+    name: Synth;
+
+    input mod_freq: value = 5.0;
+    input cutoff: value = 1200.0 [20.0..20000.0, log, ramp: 64];
+    output audio_out: stream;
+
+    nodes {
+        modulator = PolyBlepOscillator::sine(5.0, 0.2);
+        carrier = PolyBlepOscillator::saw(440.0, 0.5);
+        voices = [AdsrEnvelope::new(0.01, 0.1, 0.7, 0.3); 8];
+        clip = HardClip::new() * 4;
+        filter = TptFilter::new(1200.0, 0.707);
+    }
+
+    connections {
+        mod_freq -> modulator.frequency;
+        modulator.output -> carrier.frequency_mod;
+        carrier.output - 0.5 -> filter.input;
+        [sinc] clip.output -> audio_out;
+        filter.output -> [16] -> filter.f_mod;
+    }
+
+Supported (mirroring parse.rs): typed inputs with defaults and param specs
+(``[min..max, log, ramp: N]``), ``Frame<N>`` outputs, node arrays
+(``[Ctor; N]``), node rates (``* N``), ``Type::ctor(args)`` constructor
+paths resolved against a registry (default: the oscen_tpu node classes),
+policy prefixes (``[latch|linear|sinc|sinc_iir]``), inline delay vias
+(``-> [16] ->`` / ``-> [node] ->``), connection expressions with
+``+ - * /`` and parentheses, ``external name;`` asset slots.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional
+
+from ..core.types import ParamSpec
+from .builder import Graph, GraphError
+from .ir import BinOp, Const, EndpointRef, Expr
+
+__all__ = ["parse_graph"]
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|//[^\n]*)
+  | (?P<arrow>->)
+  | (?P<dcolon>::)
+  | (?P<range>\.\.)
+  | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>[{}()\[\];:,=*/+<>.-])
+""", re.VERBOSE)
+
+
+def _tokenize(src: str) -> List[tuple]:
+    toks = []
+    pos = 0
+    line = 1
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise GraphError(
+                f"DSL: unexpected character {src[pos]!r} at line {line}")
+        line += src[pos:m.end()].count("\n")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        toks.append((kind, m.group(), line))
+    toks.append(("eof", "", line))
+    return toks
+
+
+def _default_registry() -> Dict[str, Any]:
+    import oscen_tpu as _o
+    reg = {}
+    for name in dir(_o):
+        obj = getattr(_o, name)
+        if isinstance(obj, type):
+            reg[name] = obj
+    return reg
+
+
+class _Parser:
+    def __init__(self, toks: List[tuple], registry: Dict[str, Any]):
+        self.toks = toks
+        self.i = 0
+        self.registry = registry
+
+    # -- token helpers -------------------------------------------------- #
+    def peek(self, k: int = 0) -> tuple:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> tuple:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val: str) -> tuple:
+        t = self.next()
+        if t[1] != val:
+            raise GraphError(
+                f"DSL line {t[2]}: expected {val!r}, got {t[1]!r}")
+        return t
+
+    def accept(self, val: str) -> bool:
+        if self.peek()[1] == val:
+            self.i += 1
+            return True
+        return False
+
+    def ident(self) -> str:
+        t = self.next()
+        if t[0] != "ident":
+            raise GraphError(
+                f"DSL line {t[2]}: expected identifier, got {t[1]!r}")
+        return t[1]
+
+    def number(self) -> float:
+        neg = self.accept("-")
+        t = self.next()
+        if t[0] != "num":
+            raise GraphError(
+                f"DSL line {t[2]}: expected number, got {t[1]!r}")
+        v = float(t[1])
+        return -v if neg else v
+
+    # -- grammar -------------------------------------------------------- #
+    def parse(self, name: Optional[str]) -> Graph:
+        g: Optional[Graph] = None
+        items: List[tuple] = []
+        gname = name or "Graph"
+        # first pass collects declarations so `connections` can come in any
+        # order relative to `nodes` (the reference allows both)
+        while self.peek()[0] != "eof":
+            t = self.peek()
+            if t[1] == "name":
+                self.next()
+                self.expect(":")
+                gname = self.ident()
+                self.expect(";")
+            elif t[1] in ("input", "output", "external"):
+                items.append(self._decl())
+            elif t[1] == "nodes":
+                items.extend(self._nodes_block())
+            elif t[1] == "connections":
+                items.extend(self._connections_block())
+            else:
+                raise GraphError(
+                    f"DSL line {t[2]}: unexpected {t[1]!r} at top level")
+        g = Graph(gname)
+        # declarations first, then nodes, then connections
+        for kind, payload in sorted(
+                items, key=lambda it: {"decl": 0, "node": 1,
+                                       "conn": 2}[it[0]]):
+            payload(g)
+        return g
+
+    def _decl(self) -> tuple:
+        which = self.next()[1]
+        if which == "external":
+            nm = self.ident()
+            # optional `: Type` annotation, ignored (type comes from the
+            # bound node's consumer, as in the reference)
+            if self.accept(":"):
+                self.ident()
+            self.expect(";")
+            return ("decl", lambda g, nm=nm: g.external(nm))
+        nm = self.ident()
+        kind = "value"
+        channels = 1
+        if self.accept(":"):
+            kind = self.ident()
+            if self.accept(":"):  # `output out: stream: Frame<2>`
+                fr = self.ident()
+                if fr != "Frame":
+                    raise GraphError(f"DSL: unknown type {fr!r}")
+                self.expect("<")
+                channels = int(self.number())
+                self.expect(">")
+        default = 0.0
+        spec = None
+        ramp = 0
+        if self.accept("="):
+            default = self.number()
+        if self.peek()[1] == "[" and which == "input":
+            spec, ramp = self._param_spec()
+        self.expect(";")
+        if which == "input":
+            return ("decl", lambda g, nm=nm, kind=kind, default=default,
+                    channels=channels, spec=spec, ramp=ramp:
+                    g.input(nm, kind, default=default, channels=channels,
+                            spec=spec, ramp=ramp))
+        return ("decl", lambda g, nm=nm, kind=kind, channels=channels:
+                g.output(nm, kind, channels=channels))
+
+    def _param_spec(self):
+        self.expect("[")
+        spec = ParamSpec()
+        ramp = 0
+        while not self.accept("]"):
+            t = self.peek()
+            if t[0] == "num" or t[1] == "-":
+                lo = self.number()
+                self.expect("..")
+                hi = self.number()
+                spec.min, spec.max = lo, hi
+            else:
+                key = self.ident()
+                if key == "log":
+                    spec.log = True
+                elif key == "ramp":
+                    self.expect(":")
+                    ramp = int(self.number())
+                    spec.ramp_frames = ramp
+                elif key in ("center", "step", "smoother_ms"):
+                    self.expect(":")
+                    setattr(spec, key if key != "smoother_ms"
+                            else "smoother_ms", self.number())
+                elif key in ("unit", "display_name", "group"):
+                    self.expect(":")
+                    setattr(spec, key, self.ident())
+                else:
+                    raise GraphError(f"DSL: unknown spec field {key!r}")
+            self.accept(",")
+        return spec, ramp
+
+    # .................................................................. #
+    def _nodes_block(self) -> List[tuple]:
+        self.expect("nodes")
+        self.expect("{")
+        out = []
+        while not self.accept("}"):
+            nm = self.ident()
+            self.expect("=")
+            count = 1
+            if self.accept("["):
+                node = self._ctor()
+                self.expect(";")
+                count = int(self.number())
+                self.expect("]")
+            else:
+                node = self._ctor()
+            rate = 1
+            if self.accept("*"):
+                rate = int(self.number())
+            self.expect(";")
+            out.append(("node", lambda g, nm=nm, node=node, count=count,
+                        rate=rate: g.add(nm, node, count=count, rate=rate)))
+        return out
+
+    def _ctor(self):
+        ty = self.ident()
+        cls = self.registry.get(ty)
+        if cls is None:
+            raise GraphError(f"DSL: unknown node type {ty!r} (pass it in "
+                             f"the registry)")
+        method = None
+        if self.accept("::"):
+            method = self.ident()
+        args, kwargs = self._args()
+        if method in (None, "new"):
+            return cls(*args, **kwargs)
+        fn = getattr(cls, method, None)
+        if fn is None:
+            raise GraphError(f"DSL: {ty} has no constructor {method!r}")
+        return fn(*args, **kwargs)
+
+    def _args(self):
+        self.expect("(")
+        args: List[Any] = []
+        kwargs: Dict[str, Any] = {}
+        while not self.accept(")"):
+            if self.peek()[0] == "ident" and self.peek(1)[1] == "=":
+                k = self.ident()
+                self.expect("=")
+                kwargs[k] = self.number()
+            else:
+                args.append(self.number())
+            self.accept(",")
+        return args, kwargs
+
+    # .................................................................. #
+    def _connections_block(self) -> List[tuple]:
+        self.expect("connections")
+        self.expect("{")
+        out = []
+        while not self.accept("}"):
+            policy = "default"
+            if self.accept("["):
+                policy = self.ident()
+                self.expect("]")
+            src = self._expr()
+            self.expect("->")
+            via = None
+            if self.accept("["):
+                t = self.peek()
+                if t[0] == "num":
+                    via = int(self.number())
+                else:
+                    via = self.ident()
+                self.expect("]")
+                self.expect("->")
+            dst = self._dst()
+            self.expect(";")
+            out.append(("conn", lambda g, src=src, dst=dst, policy=policy,
+                        via=via: g.connect(
+                            _resolve(src, g), _resolve_dst(dst, g),
+                            policy=policy, via=via)))
+        return out
+
+    def _dst(self):
+        nm = self.ident()
+        idx = None
+        if self.accept("["):
+            idx = int(self.number())
+            self.expect("]")
+        if self.accept("."):
+            ep = self.ident()
+            return ("ep", nm, idx, ep)
+        return ("out", nm)
+
+    # expression grammar: term (+|-) term; factor (*|/) factor; atoms
+    def _expr(self):
+        e = self._term()
+        while True:
+            nxt = self.peek()
+            # `-` only binds as subtraction if not part of `->`
+            if nxt[1] == "+" or (nxt[1] == "-" and self.peek(1)[1] != ">"):
+                op = self.next()[1]
+                e = ("bin", op, e, self._term())
+            else:
+                return e
+
+    def _term(self):
+        e = self._factor()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            e = ("bin", op, e, self._factor())
+        return e
+
+    def _factor(self):
+        t = self.peek()
+        if t[1] == "(":
+            self.next()
+            e = self._expr()
+            self.expect(")")
+            return e
+        if t[0] == "num" or t[1] == "-":
+            return ("const", self.number())
+        nm = self.ident()
+        idx = None
+        if self.accept("["):
+            idx = int(self.number())
+            self.expect("]")
+        if self.accept("."):
+            ep = self.ident()
+            ch = None
+            if self.accept("["):
+                ch = int(self.number())
+                self.expect("]")
+            return ("ep", nm, idx, ep, ch)
+        return ("input", nm)
+
+
+def _resolve(node, g: Graph):
+    kind = node[0]
+    if kind == "const":
+        return Const(node[1])
+    if kind == "input":
+        if node[1] in g._externals:
+            return node[1]  # asset binding: builder handles the string
+        return EndpointRef("", node[1])
+    if kind == "ep":
+        nm, idx, ep = node[1], node[2], node[3]
+        ch = node[4] if len(node) > 4 else None
+        g._check_endpoint(nm, ep)
+        return EndpointRef(nm, ep, idx, ch)
+    if kind == "bin":
+        return BinOp(node[1], _resolve(node[2], g), _resolve(node[3], g))
+    raise GraphError(f"DSL: bad expression node {node!r}")
+
+
+def _resolve_dst(dst, g: Graph):
+    if dst[0] == "out":
+        nm = dst[1]
+        if any(o.name == nm for o in g._outputs):
+            return nm
+        # bare name might also be a node... the reference requires
+        # `node.endpoint` for node destinations
+        raise GraphError(f"DSL: unknown connection destination {nm!r}")
+    _, nm, idx, ep = dst
+    g._check_endpoint(nm, ep)
+    return EndpointRef(nm, ep, idx)
+
+
+def parse_graph(src: str, registry: Optional[Dict[str, Any]] = None,
+                name: Optional[str] = None) -> Graph:
+    """Parse a ``graph!``-style body into a :class:`Graph`.
+
+    ``registry`` maps type names usable in ``nodes { ... }`` to node
+    classes; defaults to every class exported from ``oscen_tpu`` — pass
+    your own (or update the dict) for custom nodes.
+    """
+    reg = _default_registry()
+    if registry:
+        reg.update(registry)
+    p = _Parser(_tokenize(src), reg)
+    return p.parse(name)

@@ -1,0 +1,130 @@
+"""Textual graph DSL: the reference's graph! syntax parsed at runtime.
+
+Mirrors the reference macro integration style (oscen-lib/tests/*.rs compile
+real graph! bodies and assert runtime behavior).
+"""
+
+import numpy as np
+import pytest
+
+from oscen_tpu import GraphError
+from oscen_tpu.graph.dsl import parse_graph
+
+README_SYNTH = """
+    name: Synth;
+
+    input mod_freq: value = 5.0;
+    input mod_depth: value = 0.2;
+    input carrier_freq: value = 440.0;
+    input cutoff: value = 1200.0;
+
+    output audio_out: stream;
+
+    nodes {
+        modulator = PolyBlepOscillator::sine(5.0, 0.2);
+        carrier = PolyBlepOscillator::saw(440.0, 0.5);
+        filter = TptFilter::new(1200.0, 0.707);
+    }
+
+    connections {
+        mod_freq -> modulator.frequency;
+        mod_depth -> modulator.amplitude;
+        carrier_freq -> carrier.frequency;
+        cutoff -> filter.cutoff;
+        modulator.output -> carrier.frequency_mod;
+        carrier.output -> filter.input;
+        filter.output -> audio_out;
+    }
+"""
+
+
+def test_readme_synth_via_dsl_matches_builder():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_graph_basic import build_readme_synth
+
+    a = parse_graph(README_SYNTH).compile(
+        44100.0, block_size=256).render_mono(2048)
+    b = build_readme_synth().compile(
+        44100.0, block_size=256).render_mono(2048)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dsl_full_feature_surface():
+    src = """
+        name: Full;
+        input gate: event;
+        input level: value = 0.5 [0.0..1.0, ramp: 32];
+        output out: stream;
+        output st_out: stream: Frame<2>;
+        external ir;
+
+        nodes {
+            envs = [AdsrEnvelope::new(0.01, 0.1, 0.7, 0.3); 4];
+            oscs = [PolyBlepOscillator::saw(220.0, 0.5); 4];
+            clip = HardClip::new() * 4;
+            conv = Convolver::new(max_ir_len=64);
+            mix = Gain::new(1.0);
+            trem = Tremolo::new();
+        }
+
+        connections {
+            gate -> envs.gate;
+            oscs.output * envs.output -> mix.input;
+            level -> mix.gain;
+            [sinc] clip.output -> conv.input;
+            mix.output -> clip.input;
+            ir -> conv.ir;
+            conv.output -> out;
+            conv.output -> trem.input;
+            trem.output -> st_out;
+        }
+    """
+    g = parse_graph(src)
+    ir = g.lower()
+    assert ir.nodes["envs"].count == 4
+    assert ir.nodes["clip"].rate == 4
+    assert ir.asset_bindings == [("ir", "conv", "ir")]
+    assert g.param_specs()["level"].ramp_frames == 32
+    c = g.compile(48000.0, block_size=64)
+    c.queue_event("gate", 0, 1.0)
+    out = c.render(256)
+    assert out["out"].shape == (256,)
+    assert out["st_out"].shape == (256, 2)
+    assert np.all(np.isfinite(out["out"]))
+
+
+def test_dsl_via_and_expression():
+    src = """
+        output out: stream;
+        nodes {
+            a = Oscillator::sine(100.0, 1.0);
+            b = Oscillator::sine(200.0, 1.0);
+            mix = Gain::new(1.0);
+        }
+        connections {
+            a.output * 0.5 + b.output * 0.25 -> mix.input;
+            mix.output * 0.5 -> mix.input -> [32] -> mix.gain;
+        }
+    """
+    # the via form above is malformed on purpose midway; use a valid one
+    src = src.replace(
+        "mix.output * 0.5 -> mix.input -> [32] -> mix.gain;",
+        "mix.output * 0.5 -> [32] -> mix.input;\n"
+        "            mix.output -> out;")
+    g = parse_graph(src)
+    out = g.compile(48000.0, block_size=128).render_mono(128)
+    assert np.all(np.isfinite(out))
+
+
+def test_dsl_errors_name_location():
+    with pytest.raises(GraphError, match="unknown node type"):
+        parse_graph("nodes { x = NoSuchNode::new(); }")
+    with pytest.raises(GraphError, match="expected"):
+        parse_graph("input x value;")
+    with pytest.raises(GraphError, match="no endpoint"):
+        parse_graph("""
+            output out: stream;
+            nodes { o = Oscillator::sine(100.0, 1.0); }
+            connections { o.nope -> out; }
+        """)
