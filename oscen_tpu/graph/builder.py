@@ -431,30 +431,51 @@ class Graph:
     # ------------------------------------------------------------------ #
     # lowering
     # ------------------------------------------------------------------ #
-    def lower(self) -> IrGraph:
+    def check(self) -> List[str]:
+        """Validate without raising: returns every diagnostic found (the
+        reference's accumulated Diagnostics, diagnostics.rs:40-107)."""
+        try:
+            self.lower(collect=True)
+            return []
+        except GraphError as e:
+            return str(e).split("\n")
+
+    def lower(self, collect: bool = False) -> IrGraph:
         flat = self._flatten()
         if flat is not self:
-            return flat.lower()
+            return flat.lower(collect=collect)
         ir = IrGraph(self.name)
         ir.inputs = list(self._inputs)
         ir.outputs = list(self._outputs)
         ir.nodes = dict(self._nodes)
         ir.asset_bindings = list(self._asset_bindings)
 
+        diags: List[str] = []
+
+        def step(fn, *args):
+            """Run a lowering step; in collect mode accumulate the error
+            and continue (multi-error recovery, reference parse.rs
+            chunking + diagnostics.rs accumulation)."""
+            try:
+                fn(*args)
+            except GraphError as e:
+                if not collect:
+                    raise
+                diags.append(str(e))
+
         # -- step 3: build edges (via expansion, lower.rs:340-655) --------
         for stmt in self._connections:
-            self._lower_stmt(ir, stmt)
+            step(self._lower_stmt, ir, stmt)
 
-        # -- rate validation (undersampling rejected, lower.rs:797-809) ---
-        for e in ir.edges:
-            pass  # rate kernels classified in _classify_rates below
-
-        self._synthesize_output_taps(ir)
-        self._classify_rates(ir)
-        self._infer_fanout(ir)
-        self._validate_kinds(ir)
-        self._toposort(ir)
-        self._dead_nodes(ir)
+        step(self._synthesize_output_taps, ir)
+        step(self._classify_rates, ir)
+        step(self._infer_fanout, ir)
+        step(self._validate_kinds, ir)
+        step(self._toposort, ir)
+        step(self._dead_nodes, ir)
+        if diags:
+            # one combined report (the compile_error! collapse)
+            raise GraphError("\n".join(dict.fromkeys(diags)))
         return ir
 
     # ................................................................. #
@@ -585,20 +606,31 @@ class Graph:
         # same-rate stream->value assignment appears in practice via value
         # pass-throughs; the reference's kind inference unifies them.  We
         # accept S->V at same rate (it is a per-sample copy either way).
+        diags: List[str] = []
         for e in ir.edges:
-            sk = self._expr_kind(ir, e.source)
-            dk = self._endpoint_kind(
-                ir, EndpointRef(e.dst_node, e.dst_endpoint), as_source=False)
-            if (sk, dk) not in ok:
-                raise GraphError(
-                    f"cannot connect {sk.value} source to {dk.value} input "
-                    f"({e.dst_node}.{e.dst_endpoint})")
-            e.kind = dk
+            try:
+                sk = self._expr_kind(ir, e.source)
+                dk = self._endpoint_kind(
+                    ir, EndpointRef(e.dst_node, e.dst_endpoint),
+                    as_source=False)
+                if (sk, dk) not in ok:
+                    diags.append(
+                        f"cannot connect {sk.value} source to {dk.value} "
+                        f"input ({e.dst_node}.{e.dst_endpoint})")
+                else:
+                    e.kind = dk
+            except GraphError as err:
+                diags.append(str(err))
         for name, expr in ir.output_edges.items():
             out = next(o for o in ir.outputs if o.name == name)
-            sk = self._expr_kind(ir, expr)
-            if out.kind == Kind.EVENT and sk != Kind.EVENT:
-                raise GraphError(f"output '{name}' expects events")
+            try:
+                sk = self._expr_kind(ir, expr)
+                if out.kind == Kind.EVENT and sk != Kind.EVENT:
+                    diags.append(f"output '{name}' expects events")
+            except GraphError as err:
+                diags.append(str(err))
+        if diags:
+            raise GraphError("\n".join(diags))
 
     # ................................................................. #
     def _classify_rates(self, ir: IrGraph) -> None:

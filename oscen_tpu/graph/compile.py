@@ -649,18 +649,22 @@ class CompiledGraph:
                 for ep in node.INPUTS:
                     edges = prog.edges_by_dst.get((name, ep.name), [])
                     if ep.kind == Kind.EVENT:
+                        # event fan-in is last-write-wins per block: each
+                        # edge's copy REPLACES the queue (reference
+                        # AccumulateEndpoints delegates events to connect,
+                        # static_context.rs:160-217)
                         evs: List[EventInstance] = []
                         for e in edges:
                             src_evs = source_events(e)
                             if src_evs and isinstance(src_evs[0], list):
                                 idx = e.source.index
                                 if idx is not None:
-                                    evs.extend(src_evs[idx])
+                                    evs = list(src_evs[idx])
                                 else:
-                                    for sub in src_evs:
-                                        evs.extend(sub)
+                                    evs = [x for sub in src_evs
+                                           for x in sub]
                             else:
-                                evs.extend(src_evs)
+                                evs = list(src_evs)
                         ev_in[ep.name] = sorted(
                             evs, key=lambda x: x.frame_offset)
                     else:
@@ -682,6 +686,7 @@ class CompiledGraph:
                     for ep in node.INPUTS:
                         edges = prog.edges_by_dst.get((name, ep.name), [])
                         if ep.kind == Kind.EVENT:
+                            # last-write-wins per edge (connect semantics)
                             evs = []
                             for e in edges:
                                 if e.dst_index is not None \
@@ -690,11 +695,14 @@ class CompiledGraph:
                                 src_evs = source_events(e)
                                 if src_evs and isinstance(src_evs[0], list):
                                     if e.source.index is not None:
-                                        evs.extend(src_evs[e.source.index])
+                                        evs = list(
+                                            src_evs[e.source.index])
                                     elif i < len(src_evs):
-                                        evs.extend(src_evs[i])
+                                        evs = list(src_evs[i])
+                                    else:
+                                        evs = []
                                 else:
-                                    evs.extend(src_evs)
+                                    evs = list(src_evs)
                             ev_in[ep.name] = sorted(
                                 evs, key=lambda x: x.frame_offset)
                         else:
@@ -728,30 +736,31 @@ class CompiledGraph:
 
             edges = prog.edges_by_dst.get((name, ep), [])
             if inst.count > 1:
+                # last-write-wins per instance queue (connect semantics)
                 per_inst: List[List[EventInstance]] = [
                     [] for _ in range(inst.count)]
                 for e in edges:
                     evs = source_events(e)
                     if e.dst_index is not None:
-                        per_inst[e.dst_index].extend(evs)
+                        per_inst[e.dst_index] = list(evs)
                     elif evs and isinstance(evs[0], list):
                         for i in range(min(len(evs), inst.count)):
-                            per_inst[i].extend(evs[i])
+                            per_inst[i] = list(evs[i])
                     else:
                         for i in range(inst.count):
-                            per_inst[i].extend(evs)
+                            per_inst[i] = list(evs)
                 cap = _round_capacity(max((len(v) for v in per_inst),
                                           default=0))
                 ev_bufs[f"{name}.{ep}"] = _scale(EventBuffer.stack(
                     [EventBuffer.from_events(v, cap) for v in per_inst]))
             else:
                 evs = []
-                for e in edges:
+                for e in edges:  # last-write-wins (connect semantics)
                     src_evs = source_events(e)
                     if e.source.index is not None and src_evs \
                             and isinstance(src_evs[0], list):
                         src_evs = src_evs[e.source.index]
-                    evs.extend(src_evs)
+                    evs = list(src_evs)
                 cap = _round_capacity(len(evs))
                 ev_bufs[f"{name}.{ep}"] = _scale(
                     EventBuffer.from_events(evs, cap))

@@ -187,3 +187,36 @@ def test_polyphonic_voice_demux():
     e4 = spec[(freqs > 320) & (freqs < 340)].max()
     noise = spec[(freqs > 2000)].max()
     assert c4 > 10 * noise and e4 > 10 * noise
+
+
+def test_event_fanin_last_write_wins():
+    """Multiple event edges into one endpoint: each edge's copy REPLACES
+    the queue, so only the last edge's events land (reference
+    tests/event_fanin_unchanged.rs; AccumulateEndpoints delegates events
+    to connect)."""
+    from oscen_tpu import EventPassthrough, Graph, AdsrEnvelope
+    import numpy as np
+
+    g = Graph("LWW")
+    g.input("g1", "event")
+    g.input("g2", "event")
+    g.output("out", "stream")
+    p1 = g.add("p1", EventPassthrough())
+    p2 = g.add("p2", EventPassthrough())
+    env = g.add("env", AdsrEnvelope(0.0, 0.0, 1.0, 0.001))
+    g.connect("g1", p1.input)
+    g.connect("g2", p2.input)
+    g.connect(p1.output, env.gate)   # first edge
+    g.connect(p2.output, env.gate)   # LAST edge wins
+    g.connect(env.output, "out")
+    c = g.compile(48000.0, block_size=64)
+    # g1 carries velocity 1.0; g2 carries velocity 0.25 -> only 0.25 lands
+    c.queue_event("g1", 0, 1.0)
+    c.queue_event("g2", 0, 0.25)
+    out = c.render_mono(64)
+    assert abs(out[-1] - 0.25) < 1e-6, out[-1]
+    # and when the last edge is EMPTY, it clears the queue entirely
+    c.init()
+    c.queue_event("g1", 0, 1.0)
+    out = c.render_mono(64)
+    assert np.all(out == 0.0), out[:4]

@@ -153,3 +153,23 @@ def test_kind_mismatch_rejected():
     g.connect(gn.output, "out")
     with pytest.raises(GraphError, match="cannot connect"):
         g.lower()
+
+
+def test_diagnostics_accumulate():
+    """Graph.check() reports every error, not just the first
+    (reference Diagnostics accumulation, diagnostics.rs:40-107)."""
+    from oscen_tpu import AdsrEnvelope
+    g = Graph("Multi")
+    g.output("out", "stream")
+    env = g.add("env", AdsrEnvelope())
+    a = g.add("a", Gain(1.0))
+    b = g.add("b", Gain(1.0))
+    g.connect(a.output, env.gate)     # error 1: stream -> event
+    g.connect(b.output, env.gate)     # error 2: stream -> event
+    g.connect(env.output, "out")
+    errs = g.check()
+    assert len(errs) >= 2, errs
+    assert all("cannot connect" in e for e in errs[:2])
+    # lower() without collect still raises (combined)
+    with pytest.raises(GraphError, match="cannot connect"):
+        g.lower()
