@@ -95,16 +95,30 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
                        ((0, 0), (0, padV)))
     Hp, Vp = H + padH, V + padV
 
+    # grid over voice tiles: keeps VMEM bounded for large voice counts
+    # (each tile's state/output is independent — voices don't interact)
+    TILE = 256
+    n_tiles = max(Vp // TILE, 1)
+    tile = Vp // n_tiles  # Vp is a multiple of 128; tiles stay aligned
+    while tile % 128:
+        n_tiles -= 1
+        tile = Vp // n_tiles
+
+    def vspec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
     plane = jax.ShapeDtypeStruct((Hp, Vp), jnp.float32)
     y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
         _kernel,
+        grid=(n_tiles,),
         out_shape=(
             jax.ShapeDtypeStruct((block_len, Vp), jnp.float32),
             plane, plane, plane, plane,
             jax.ShapeDtypeStruct((1, Vp), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 6,
+        in_specs=[vspec(Hp)] * 7 + [vspec(1)],
+        out_specs=(vspec(block_len),) + (vspec(Hp),) * 4 + (vspec(1),),
         interpret=interpret,
     )(pad(osc_re), pad(osc_im), pad(mul_re), pad(mul_im), pad(cur),
       pad(tgt), pad(mult), step_row)
