@@ -173,3 +173,23 @@ def test_diagnostics_accumulate():
     # lower() without collect still raises (combined)
     with pytest.raises(GraphError, match="cannot connect"):
         g.lower()
+
+
+def test_init_at_new_sample_rate_reprepares():
+    """init(sample_rate) re-prepares every node: rate-derived state
+    (filter coefficients, delay buffer sizes) recomputes (the generated
+    set_sample_rate + prepare lifecycle, SURVEY §3.2)."""
+    g = build_readme_synth()
+    c = g.compile(44100.0, block_size=128)
+    a44 = c.render_mono(512)
+    c.init(sample_rate=48000.0)
+    a48 = c.render_mono(512)
+    # same graph at a different rate: pitch/coefficients shift, output
+    # differs but stays sane
+    assert a44.shape == a48.shape
+    assert np.abs(a48).max() < 1.5
+    assert not np.allclose(a44, a48)
+    # and init() alone resets state reproducibly
+    c.init()
+    b48 = c.render_mono(512)
+    np.testing.assert_array_equal(a48, b48)
