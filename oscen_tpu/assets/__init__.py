@@ -15,10 +15,9 @@ the "no free() on the audio thread" guarantee in XLA terms.
 
 from __future__ import annotations
 
-import struct
 import wave
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -647,9 +647,19 @@ class Graph:
                     "connection expression mixes nodes at different rates")
             sr_ = src_rates.pop()
             dr_ = ir.nodes[e.dst_node].rate
+            is_event = self._endpoint_kind(
+                ir, EndpointRef(e.dst_node, e.dst_endpoint),
+                as_source=False) == Kind.EVENT
             if sr_ == dr_:
                 e.kernel = EdgeKernel.NONE
                 e.rate_factor = 1
+            elif is_event:
+                # event edges cross rates via frame-offset rescale only
+                # (reference EdgeKernel::Event{Multiply/Divide},
+                # lower.rs:824-917); applied at staging from node rates
+                e.kernel = (EdgeKernel.EVENT_MULTIPLY if dr_ > sr_
+                            else EdgeKernel.EVENT_DIVIDE)
+                e.rate_factor = max(sr_, dr_) // min(sr_, dr_)
             elif sr_ == 1 and dr_ > 1:
                 e.kernel = EdgeKernel.UP
                 e.rate_factor = dr_

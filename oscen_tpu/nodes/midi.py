@@ -10,7 +10,7 @@ arrays staged into the jitted device step.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -10,8 +10,6 @@ restore continues identically (tested).
 from __future__ import annotations
 
 import pickle
-from typing import Any
-
 import jax
 import numpy as np
 

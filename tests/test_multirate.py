@@ -162,3 +162,46 @@ def test_multirate_value_edge_latch():
     freqs = np.fft.rfftfreq(1536, 1 / 48000.0)
     peak = freqs[spec.argmax()]
     assert abs(peak - 100.0) < 40.0, peak
+
+
+@pytest.mark.parametrize("mode", ["sample", "block"])
+def test_event_offsets_rescale_into_oversampled_region(mode):
+    """Events into an oversampled node fire at offset*N inner ticks ==
+    the same outer time (reference EdgeKernel::Event{Multiply} +
+    emit_frame event drains)."""
+    from oscen_tpu import AdsrEnvelope
+
+    g = Graph("EvR")
+    g.input("gate", "event")
+    g.output("out", "stream")
+    env = g.add("env", AdsrEnvelope(0.0, 0.5, 1.0, 0.1), rate=2)
+    g.connect("gate", env.gate)
+    g.connect(env.output, "out", policy="latch")
+    c = g.compile(48000.0, block_size=128, mode=mode)
+    c.queue_event("gate", 40, 1.0)
+    out = np.asarray(c.process_block()["out"])
+    # zero-attack: level jumps to 1 exactly at outer sample 40
+    assert np.all(out[:40] == 0.0), np.nonzero(out[:40])
+    assert out[40] > 0.9, out[38:44]
+
+
+def test_block_convolver_fdl_engine():
+    """The uniform-partition FDL engine (ops/conv.py BlockConvolver, the
+    fixed-block serving path) computes exact zero-latency convolution."""
+    import jax
+    from oscen_tpu.ops.conv import BlockConvolver
+
+    rng = np.random.default_rng(0)
+    ir = rng.standard_normal(100).astype(np.float32)
+    x = rng.standard_normal(256).astype(np.float32)
+    conv = BlockConvolver(block_size=64, max_ir_len=128)
+    h = jnp.asarray(conv.ir_spectra(ir))
+    st = conv.init_state()
+    ys = []
+    step = jax.jit(lambda s, xx: conv.process_block(s, h, xx))
+    for i in range(4):
+        st, y = step(st, jnp.asarray(x[i * 64:(i + 1) * 64]))
+        ys.append(np.asarray(y))
+    out = np.concatenate(ys)
+    ref = np.convolve(x, ir)[:256]
+    np.testing.assert_allclose(out, ref, atol=2e-4)
