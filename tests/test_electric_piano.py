@@ -193,3 +193,15 @@ def test_fused_kernel_interpret_matches_composition():
         mult.T, amp["step"], B, interpret=True)
     np.testing.assert_allclose(np.asarray(y.T), np.asarray(out_a["output"]),
                                atol=1e-4)
+
+
+def test_fused_voice_partial_blocks():
+    """Block sizes not divisible by the kernel unroll fall back to the
+    composed path; rendering with ragged tails stays correct."""
+    p = build_electric_piano(4).compile(48000.0, block_size=100,
+                                        mode="block")
+    p.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
+    out = p.render(990)["out"]  # 9 full blocks + a 90-sample tail
+    assert out.shape == (990, 2)
+    assert np.all(np.isfinite(out))
+    assert np.abs(out).max() > 0.01

@@ -205,3 +205,42 @@ def test_block_convolver_fdl_engine():
     out = np.concatenate(ys)
     ref = np.convolve(x, ir)[:256]
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["sample", "block"])
+def test_oversampled_node_arrays(mode):
+    """Node arrays inside an oversampled region (voices x rate): the
+    cross-rate resamplers batch over the instance axis."""
+    g = Graph("OVA")
+    g.input("drive", "value", default=1.0)
+    g.output("out", "stream")
+    oscs = g.add("oscs", PolyBlepOscillator.saw(500.0, 0.4), count=4,
+                 rate=2)
+    clips = g.add("clips", HardClip(), count=4, rate=2)
+    from oscen_tpu import Gain
+    mix = g.add("mix", Gain(0.25))
+    g.connect(oscs.output, clips.input)
+    g.connect(clips.output, mix.input, policy="sinc")  # 4->1 fan-in, down
+    g.connect("drive", mix.gain)
+    g.connect(mix.output, "out")
+    c = g.compile(48000.0, block_size=128, mode=mode)
+    out = c.render_mono(512)
+    assert np.all(np.isfinite(out))
+    assert np.abs(out[200:]).max() > 0.05
+
+
+def test_oversampled_arrays_modes_agree():
+    def run(mode):
+        g = Graph("OVA2")
+        g.output("out", "stream")
+        oscs = g.add("oscs", PolyBlepOscillator.saw(500.0, 0.4), count=4,
+                     rate=2)
+        clips = g.add("clips", HardClip(), count=4, rate=2)
+        from oscen_tpu import Gain
+        mix = g.add("mix", Gain(0.25))
+        g.connect(oscs.output, clips.input)
+        g.connect(clips.output, mix.input, policy="sinc")
+        g.connect(mix.output, "out")
+        return g.compile(48000.0, 128, mode=mode).render_mono(512)
+    a, b = run("sample"), run("block")
+    assert np.sqrt(np.mean((a - b) ** 2)) < 1e-3
