@@ -227,3 +227,25 @@ class PolyBlepOscillator(Node):
         dt = jnp.minimum(fps, 1.0)
         val = self._synthesize(phase, dt, pulse_width, frequency, sr.hz)
         return ({"phase": carry}, {"output": val * ins["amplitude"]})
+
+    def process_block_batched(self, state, ins, events, sr, block_len):
+        """All voices at once with EXACT per-sample phase wrapping: a tiny
+        sequential Pallas kernel accumulates the phases (bit-parity with
+        tick; the prefix-sum form drifts ~1e-3 RMS/s), then the polyBLEP
+        synthesis runs time-parallel on the exact phases."""
+        import jax as _jax
+        if _jax.default_backend() != "tpu":
+            return None
+        from ..ops.pallas.phase import phase_scan
+
+        frequency = jnp.maximum(
+            ins["frequency"] * (1.0 + ins["frequency_mod"]), 0.0)  # [C,B]
+        fps = frequency / max(sr.hz, F32_EPS)
+        before, carry = phase_scan(state["phase"],
+                                   jnp.moveaxis(fps, 0, 1))
+        before = jnp.moveaxis(before, 0, 1)  # [C, B]
+        pulse_width = jnp.clip(ins["pulse_width"], 0.0001, 0.9999)
+        phase = _wrap_phase(before + ins["phase_mod"])
+        dt = jnp.minimum(fps, 1.0)
+        val = self._synthesize(phase, dt, pulse_width, frequency, sr.hz)
+        return ({"phase": carry}, {"output": val * ins["amplitude"]})

@@ -69,3 +69,24 @@ def test_biquad_pallas_matches_tick():
         jnp.zeros(V), jnp.zeros(V), interpret=True)
     # tick path has denormal snaps; signals here stay far above 1e-15
     np.testing.assert_allclose(np.asarray(y), ys, atol=1e-7)
+
+
+def test_phase_scan_matches_sequential():
+    """The Pallas phase kernel replays exact per-sample wrapping."""
+    from oscen_tpu.ops.pallas.phase import phase_scan
+
+    rng = np.random.default_rng(0)
+    V, B = 3, 100
+    dt = rng.uniform(0.0, 0.3, (B, V)).astype(np.float32)
+    p0 = rng.uniform(0, 1, V).astype(np.float32)
+    before, carry = phase_scan(jnp.asarray(p0), jnp.asarray(dt),
+                               interpret=True)
+    # sequential f32 reference (exact op order)
+    p = p0.copy()
+    ref = np.zeros((B, V), np.float32)
+    for t in range(B):
+        ref[t] = p
+        p = (p + dt[t]).astype(np.float32)
+        p = (p - np.floor(p)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(before), ref)
+    np.testing.assert_array_equal(np.asarray(carry), p)
