@@ -173,3 +173,21 @@ class FmOperator(Node):
         phase = state["phase"] + frequency / sr.hz
         phase = phase - jnp.trunc(phase)  # Rust .fract()
         return ({"phase": phase, "prev_output": out}, {"output": out})
+
+    def process_block_batched(self, state, ins, events, sr, block_len):
+        """All voices through the exact-op-order Pallas kernel
+        (ops/pallas/fm.py); the default path is a per-voice 512-step
+        while-loop."""
+        import jax
+        if jax.default_backend() != "tpu":
+            return None
+        from ..ops.pallas.fm import fm_operator_scan
+
+        dt = ins["base_freq"] * ins["ratio"] / sr.hz  # [C, B]
+        tbv = lambda v: jnp.moveaxis(v, 0, 1)  # [C, B] -> [B, C]
+        y, phase, prev = fm_operator_scan(
+            state["phase"], state["prev_output"], tbv(dt),
+            tbv(ins["phase_mod"]), tbv(ins["feedback"]),
+            tbv(ins["envelope"]), tbv(ins["level"]))
+        return ({"phase": phase, "prev_output": prev},
+                {"output": jnp.moveaxis(y, 0, 1)})

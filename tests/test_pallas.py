@@ -90,3 +90,37 @@ def test_phase_scan_matches_sequential():
         p = (p - np.floor(p)).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(before), ref)
     np.testing.assert_array_equal(np.asarray(carry), p)
+
+
+def test_fm_operator_pallas_matches_tick():
+    from oscen_tpu import FmOperator, SampleRate
+    from oscen_tpu.ops.pallas.fm import fm_operator_scan
+
+    sr = SampleRate(48000.0)
+    node = FmOperator()
+    V, B = 2, 64
+    rng = np.random.default_rng(0)
+    pm = rng.uniform(-0.2, 0.2, (B, V)).astype(np.float32)
+    env = rng.uniform(0.2, 1.0, (B, V)).astype(np.float32)
+    freqs = np.array([220.0, 440.0], np.float32)
+
+    ys = np.zeros((B, V), np.float32)
+    for v in range(V):
+        st = node.init_state(sr)
+        for t in range(B):
+            ins = node.default_inputs()
+            ins.update(base_freq=jnp.float32(freqs[v]),
+                       ratio=jnp.float32(2.0),
+                       phase_mod=jnp.float32(pm[t, v]),
+                       feedback=jnp.float32(0.4),
+                       envelope=jnp.float32(env[t, v]),
+                       level=jnp.float32(0.8))
+            st, o = node.tick(st, ins, sr)
+            ys[t, v] = float(o["output"])
+
+    dt = np.broadcast_to(freqs * 2.0 / 48000.0, (B, V)).astype(np.float32)
+    y, phase, prev = fm_operator_scan(
+        jnp.zeros(V), jnp.zeros(V), jnp.asarray(dt), jnp.asarray(pm),
+        jnp.full((B, V), 0.4), jnp.asarray(env), jnp.full((B, V), 0.8),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(y), ys, atol=1e-6)
