@@ -39,8 +39,14 @@ def main():
 
     if model == "electric_piano":
         g = build_electric_piano(NUM_VOICES)
-    else:
+    elif model == "fm_synth":
+        from oscen_tpu.models.fm_synth import build_fm_synth
+        g = build_fm_synth(NUM_VOICES)
+    elif model == "poly_synth":
         g = build_poly_synth(NUM_VOICES)
+    else:
+        raise SystemExit(f"unknown --model={model} (electric_piano, "
+                         f"poly_synth, fm_synth)")
     synth = g.compile(sample_rate=SR, block_size=BLOCK, mode=mode)
 
     def audio_of(outs):

@@ -20,9 +20,10 @@ from jax.experimental.pallas import tpu as pltpu
 TAU = 2.0 * math.pi
 
 
-def _kernel(phase0_ref, prev0_ref, dt_ref, pm_ref, fb_ref, env_ref,
+def _kernel(B, phase0_ref, prev0_ref, dt_ref, pm_ref, fb_ref, env_ref,
             lvl_ref, y_ref, phase_o, prev_o):
-    B = dt_ref.shape[0]
+    # B = true block length (bound via partial): looping the padded
+    # shape would zero the prev_output carry on the padded tail.
 
     def body(t, carry):
         phase, prev = carry
@@ -40,6 +41,91 @@ def _kernel(phase0_ref, prev0_ref, dt_ref, pm_ref, fb_ref, env_ref,
                                     (phase0_ref[:], prev0_ref[:]))
     phase_o[:] = phase
     prev_o[:] = prev
+
+
+def _chain3_kernel(B, U, ph_ref, prev_ref, dt_ref, lvl_ref, fb_ref,
+                   mix_ref, env3_ref, env2_ref, env1_ref, y_ref,
+                   ph_o, prev_o):
+    """The FMVoice operator chain (fm_voice.rs connections): per sample,
+    op3 → route crossfade → op2 → mixer → op1, each an FM operator with
+    self-feedback.  State rows are stacked [3, V] (op3, op2, op1).
+    B = true block length (bound via partial; padded tail must not run);
+    U = unroll factor (amortizes fori_loop overhead, like the additive
+    kernel).  dt is PER-SAMPLE ``[3, B, V]`` — the voice allocator
+    changes the pitch mid-block at note-on, and this node sees no gate
+    event to force the fallback path."""
+    lvl = lvl_ref[:]    # [3, V]
+    fb = fb_ref[:]      # [3, V]
+    mix = mix_ref[:]    # [1, V] (route, pre-clamped)
+
+    def op(t, ph, prev, pm, env, i):
+        y = jnp.sin((ph + pm + prev * fb[i:i + 1, :]) * TAU) \
+            * env * lvl[i:i + 1, :]
+        ph = ph + dt_ref[i, pl.ds(t, 1), :]
+        return ph - jnp.trunc(ph), y
+
+    def sample(t, carry):
+        ph3, ph2, ph1, p3, p2, p1 = carry
+        ph3, y3 = op(t, ph3, p3, 0.0, env3_ref[pl.ds(t, 1), :], 0)
+        a = y3 * (1.0 - mix)   # crossfade output_a -> op2.phase_mod
+        b = y3 * mix           # crossfade output_b -> op1 mixer
+        ph2, y2 = op(t, ph2, p2, a, env2_ref[pl.ds(t, 1), :], 1)
+        ph1, y1 = op(t, ph1, p1, y2 + b, env1_ref[pl.ds(t, 1), :], 2)
+        return (ph3, ph2, ph1, y3, y2, y1), y1
+
+    def body(i, carry):
+        rows = []
+        for j in range(U):
+            carry, y1 = sample(i * U + j, carry)
+            rows.append(y1)
+        y_ref[pl.ds(i * U, U), :] = jnp.concatenate(rows, axis=0)
+        return carry
+
+    ph3, ph2, ph1, p3, p2, p1 = jax.lax.fori_loop(
+        0, B // U, body,
+        (ph_ref[0:1, :], ph_ref[1:2, :], ph_ref[2:3, :],
+         prev_ref[0:1, :], prev_ref[1:2, :], prev_ref[2:3, :]))
+    ph_o[:] = jnp.concatenate([ph3, ph2, ph1], axis=0)
+    prev_o[:] = jnp.concatenate([p3, p2, p1], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
+                   interpret: bool = False):
+    """One block of the fused 3-operator FM voice chain, all voices.
+
+    Args: phases/prevs ``[3, V]`` (op3, op2, op1 order); dt ``[3, B, V]``
+    per-sample phase increments (pitch changes mid-block at note-on);
+    lvl/fb ``[3, V]`` block-constant per-op params; mix ``[V]`` (route,
+    clamped); env* ``[B, V]`` envelope streams.
+    Returns (y ``[B, V]``, phases', prevs').
+    """
+    B, V = env3.shape
+    padV = (-V) % 128
+    padB = (-B) % 8
+
+    def p3(x):
+        return jnp.pad(x, ((0, 0), (0, padV)))
+
+    def pBV(x):
+        return jnp.pad(x, ((0, padB), (0, padV)))
+
+    mix_row = jnp.pad(jnp.reshape(mix, (1, -1)), ((0, 0), (0, padV)))
+    U = 8 if B % 8 == 0 else 1
+    y, ph, pv = pl.pallas_call(
+        functools.partial(_chain3_kernel, B, U),
+        out_shape=(
+            jax.ShapeDtypeStruct((B + padB, V + padV), jnp.float32),
+            jax.ShapeDtypeStruct((3, V + padV), jnp.float32),
+            jax.ShapeDtypeStruct((3, V + padV), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        interpret=interpret,
+    )(p3(phases), p3(prevs),
+      jnp.pad(dt, ((0, 0), (0, padB), (0, padV))), p3(lvl), p3(fb),
+      mix_row, pBV(env3), pBV(env2), pBV(env1))
+    return y[:B, :V], ph[:, :V], pv[:, :V]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -61,7 +147,7 @@ def fm_operator_scan(phase0, prev0, dt, pm, fb, env, lvl,
         return jnp.pad(jnp.reshape(v, (1, -1)), ((0, 0), (0, padV)))
 
     y, phase, prev = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, B),
         out_shape=(
             jax.ShapeDtypeStruct((B + padB, V + padV), jnp.float32),
             jax.ShapeDtypeStruct((1, V + padV), jnp.float32),

@@ -36,9 +36,10 @@ def _pad_to(x, mult, axis):
 
 
 # --------------------------------------------------------------------- #
-def _tpt_kernel(x_ref, h_ref, g_ref, k_ref, z0_ref, z1_ref,
+def _tpt_kernel(B, x_ref, h_ref, g_ref, k_ref, z0_ref, z1_ref,
                 y_ref, z0o_ref, z1o_ref):
-    B = x_ref.shape[0]
+    # B = true block length (bound via partial): looping the padded
+    # shape would advance the integrator states on phantom zero input.
     const_coef = h_ref.shape[0] == 1
 
     def body(t, carry):
@@ -89,7 +90,7 @@ def tpt_svf_scan(x, h, g, k, z0, z1, interpret: bool = False):
         return r
 
     y, z0o, z1o = pl.pallas_call(
-        _tpt_kernel,
+        functools.partial(_tpt_kernel, B),
         out_shape=(
             jax.ShapeDtypeStruct(xp.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.float32),
@@ -103,14 +104,14 @@ def tpt_svf_scan(x, h, g, k, z0, z1, interpret: bool = False):
 
 
 # --------------------------------------------------------------------- #
-def _biquad_kernel(x_ref, b0_ref, b1_ref, b2_ref, a1_ref, a2_ref,
+def _biquad_kernel(B, x_ref, b0_ref, b1_ref, b2_ref, a1_ref, a2_ref,
                    v1_ref, v2_ref, y_ref, v1o_ref, v2o_ref):
+    # B = true block length (bound via partial; padded tail must not run)
     b0 = b0_ref[:]
     b1 = b1_ref[:]
     b2 = b2_ref[:]
     a1 = a1_ref[:]
     a2 = a2_ref[:]
-    B = x_ref.shape[0]
 
     def body(t, carry):
         v1, v2 = carry
@@ -137,7 +138,7 @@ def biquad_scan(x, b0, b1, b2, a1, a2, v1, v2, interpret: bool = False):
         return r
 
     y, v1o, v2o = pl.pallas_call(
-        _biquad_kernel,
+        functools.partial(_biquad_kernel, B),
         out_shape=(
             jax.ShapeDtypeStruct(xp.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.float32),

@@ -19,8 +19,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(phase0_ref, dt_ref, out_ref, carry_ref):
-    B = dt_ref.shape[0]
+def _kernel(B, phase0_ref, dt_ref, out_ref, carry_ref):
+    # B = true block length (bound via partial), not the padded shape
 
     def body(t, p):
         out_ref[pl.ds(t, 1), :] = p
@@ -44,7 +44,7 @@ def phase_scan(phase0, dt, interpret: bool = False):
     dt_p = jnp.pad(dt, ((0, padB), (0, padV)))
     p0 = jnp.pad(jnp.reshape(phase0, (1, -1)), ((0, 0), (0, padV)))
     out, carry = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, B),
         out_shape=(
             jax.ShapeDtypeStruct(dt_p.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, dt_p.shape[1]), jnp.float32),

@@ -164,3 +164,24 @@ def test_twin_peaks_band_response():
     # highs roll off at 18 dB/oct
     assert band > 3 * low, (band, low)
     assert band > 100 * high, (band, high)
+
+
+def test_fused_fm_voice_matches_reference_structure():
+    """FmOperatorChain (one fused node / Pallas kernel) equals the
+    node-for-node reference FMVoice graph."""
+    from oscen_tpu.models.fm_synth import build_fm_synth
+
+    def run(fused, mode):
+        s = build_fm_synth(4, fused=fused).compile(
+            48000.0, block_size=256, mode=mode)
+        s.queue_event("midi_in", 7, raw_midi_event([0x90, 57, 100]))
+        s.queue_event("midi_in", 90, raw_midi_event([0x90, 64, 80]))
+        s.set_value("route", 0.4)
+        return np.concatenate([
+            np.asarray(s.process_block()["audio_out"]) for _ in range(6)])
+
+    for mode in ("sample", "block"):
+        a = run(False, mode)
+        b = run(True, mode)
+        rms = np.sqrt(np.mean((a - b) ** 2))
+        assert rms < 1e-5, (mode, rms)

@@ -12,7 +12,7 @@ from oscen_tpu.ops.pallas.iir import biquad_scan, tpt_svf_scan
 
 
 def test_tpt_pallas_matches_tick():
-    V, B = 4, 64
+    V, B = 4, 61  # B % 8 != 0: the padded tail must not advance state
     sr = SampleRate(48000.0)
     rng = np.random.default_rng(0)
     x = rng.standard_normal((B, V)).astype(np.float32)
@@ -98,7 +98,7 @@ def test_fm_operator_pallas_matches_tick():
 
     sr = SampleRate(48000.0)
     node = FmOperator()
-    V, B = 2, 64
+    V, B = 2, 62  # B % 8 != 0: the padded tail must not zero `prev`
     rng = np.random.default_rng(0)
     pm = rng.uniform(-0.2, 0.2, (B, V)).astype(np.float32)
     env = rng.uniform(0.2, 1.0, (B, V)).astype(np.float32)
@@ -124,3 +124,131 @@ def test_fm_operator_pallas_matches_tick():
         jnp.full((B, V), 0.4), jnp.asarray(env), jnp.full((B, V), 0.8),
         interpret=True)
     np.testing.assert_allclose(np.asarray(y), ys, atol=1e-6)
+    # the carried feedback state is the LAST real sample, not padding
+    np.testing.assert_allclose(np.asarray(prev), ys[-1], atol=1e-6)
+
+
+def test_fm_chain3_pallas_matches_tick():
+    """The fused 3-operator chain kernel replays FmOperatorChain.tick
+    exactly — including a mid-block pitch change (note-on retune), which
+    the kernel must honor per-sample (regression: hoisting base_freq at
+    sample 0 detuned the first note-on block and permanently shifted the
+    phases)."""
+    from oscen_tpu import SampleRate
+    from oscen_tpu.models.fm_synth import FmOperatorChain
+    from oscen_tpu.ops.pallas.fm import fm_chain3_scan
+
+    sr = SampleRate(48000.0)
+    node = FmOperatorChain()
+    V, B = 2, 70  # B % 8 != 0: padded tail must not corrupt the carry
+    rng = np.random.default_rng(2)
+    env3 = rng.uniform(0.1, 1.0, (B, V)).astype(np.float32)
+    env2 = rng.uniform(0.1, 1.0, (B, V)).astype(np.float32)
+    env1 = rng.uniform(0.1, 1.0, (B, V)).astype(np.float32)
+    # pitch steps mid-block, like a voice-allocator note-on at offset 17
+    freq = np.full((B, V), 440.0, np.float32)
+    freq[17:, 0] = 220.0
+    freq[33:, 1] = 660.0
+    p = dict(op3_ratio=3.0, op2_ratio=2.0, op1_ratio=1.0, op3_level=0.5,
+             op2_level=0.5, op1_level=1.0, op3_feedback=0.3,
+             op2_feedback=0.1, op1_feedback=0.0, route=0.4)
+
+    ys = np.zeros((B, V), np.float32)
+    for v in range(V):
+        st = node.init_state(sr)
+        for t in range(B):
+            ins = node.default_inputs()
+            ins.update({k: jnp.float32(x) for k, x in p.items()})
+            ins.update(base_freq=jnp.float32(freq[t, v]),
+                       env3=jnp.float32(env3[t, v]),
+                       env2=jnp.float32(env2[t, v]),
+                       env1=jnp.float32(env1[t, v]))
+            st, o = node.tick(st, ins, sr)
+            ys[t, v] = float(o["output"])
+
+    dt = jnp.stack([jnp.asarray(freq) * r / 48000.0
+                    for r in (3.0, 2.0, 1.0)])  # [3, B, V]
+    three = lambda a, b, c: jnp.asarray(
+        np.broadcast_to(np.array([a, b, c], np.float32)[:, None], (3, V)))
+    y, ph, pv = fm_chain3_scan(
+        jnp.zeros((3, V)), jnp.zeros((3, V)), dt,
+        three(0.5, 0.5, 1.0), three(0.3, 0.1, 0.0),
+        jnp.full((V,), 0.4), jnp.asarray(env3), jnp.asarray(env2),
+        jnp.asarray(env1), interpret=True)
+    np.testing.assert_allclose(np.asarray(y), ys, atol=1e-6)
+    # carried prevs row 2 is op1's last REAL sample (not padded tail)
+    np.testing.assert_allclose(np.asarray(pv)[2], ys[-1], atol=1e-6)
+
+
+def test_adsr_pallas_matches_tick():
+    """The ADSR Pallas kernel replays the exact per-sample state machine
+    through a full gate-on → A/D/S → gate-off → R → idle cycle."""
+    from oscen_tpu import AdsrEnvelope, SampleRate
+    from oscen_tpu.nodes.envelope import _cached_steps
+    from oscen_tpu.ops.pallas.adsr import adsr_scan
+
+    sr = SampleRate(48000.0)
+    V = 3
+    params = np.array([  # attack, decay, sustain, release (per voice)
+        [0.0005, 0.0010, 0.60, 0.0015],
+        [0.0020, 0.0005, 0.25, 0.0008],
+        [0.0010, 0.0030, 0.90, 0.0030],
+    ], np.float32)
+    vels = np.array([0.8, 1.0, 0.5], np.float32)
+    B1, B2 = 200, 180  # covers A+D+S, then R+idle
+
+    node = AdsrEnvelope()
+    ref = np.zeros((B1 + B2, V), np.float32)
+    states_on, states_off = [], []
+    for v in range(V):
+        ins = dict(zip(("attack", "decay", "sustain", "release"),
+                       map(jnp.float32, params[v])))
+        st = node.on_gate(node.init_state(sr), jnp.float32(vels[v]),
+                          sr, ins)
+        for t in range(B1):
+            st, o = node.tick(st, ins, sr)
+            ref[t, v] = float(o["output"])
+        states_on.append(st)
+        st = node.on_gate(st, jnp.float32(0.0), sr, ins)
+        for t in range(B2):
+            st, o = node.tick(st, ins, sr)
+            ref[B1 + t, v] = float(o["output"])
+        states_off.append(st)
+
+    def pack(sts):
+        keys = ("stage", "rem", "level", "target", "sustain_level",
+                "velocity", "release_inc")
+        return jnp.asarray([[float(s[k]) for s in sts] for k in keys],
+                           jnp.float32)
+
+    pv = {k: jnp.asarray(params[:, i]) for i, k in
+          enumerate(("attack", "decay", "sustain", "release"))}
+    a_n, d_n, r_n, a_c, d_c = _cached_steps(pv, sr.hz)
+
+    def block(st7, nb):
+        return adsr_scan(st7, a_n.astype(jnp.float32),
+                         d_n.astype(jnp.float32), r_n.astype(jnp.float32),
+                         a_c, d_c,
+                         jnp.broadcast_to(pv["sustain"], (nb, V)),
+                         interpret=True)
+
+    y1, st7 = block(pack([node.on_gate(node.init_state(sr),
+                                       jnp.float32(vels[v]), sr,
+                                       {k: jnp.float32(params[v][i])
+                                        for i, k in enumerate(
+                                            ("attack", "decay", "sustain",
+                                             "release"))})
+                          for v in range(V)]), B1)
+    np.testing.assert_allclose(np.asarray(y1), ref[:B1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st7), np.asarray(pack(states_on)),
+                               atol=1e-6)
+    y2, st7 = block(pack([node.on_gate(states_on[v], jnp.float32(0.0), sr,
+                                       {k: jnp.float32(params[v][i])
+                                        for i, k in enumerate(
+                                            ("attack", "decay", "sustain",
+                                             "release"))})
+                          for v in range(V)]), B2)
+    np.testing.assert_allclose(np.asarray(y2), ref[B1:], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st7),
+                               np.asarray(pack(states_off)), atol=1e-6)
+    assert np.all(np.asarray(st7)[0] == 0.0)  # all voices back to IDLE
