@@ -89,6 +89,68 @@ def _chain3_kernel(B, U, ph_ref, prev_ref, dt_ref, lvl_ref, fb_ref,
     prev_o[:] = jnp.concatenate([p3, p2, p1], axis=0)
 
 
+def _chain3_pipe_kernel(B, U, ph_ref, prev_ref, dt3_ref, dt2_ref, dt1_ref,
+                        lvl_ref, fb_ref, mix_ref, env3_ref, env2_ref,
+                        env1_ref, y_ref, ph_o, prev_o, d2_o):
+    """Software-pipelined variant: iteration i computes op3 sample i,
+    op2 sample i-1, op1 sample i-2 — so the three sins (and the FM
+    arithmetic) run as ONE stacked [3, V] vector op per iteration instead
+    of three dependent [1, V] ops.  The per-sample math and op order are
+    unchanged (same f32 results as ``tick``); only the schedule shifts.
+
+    Row r is "active" for r <= i < B + r; inactive rows neither advance
+    their phase nor update the prev/feedback carry, so the prologue
+    computes garbage that never escapes and the epilogue drains op2/op1.
+    env/dt streams are pre-shifted by the wrapper so row r's stream is
+    read at index i (= its sample i - r); six [1, V] reads + two concats
+    per iteration measured FASTER than one interleaved aligned [24, V]
+    chunk read per unrolled body (105 vs 148 µs/block at B=1024, V=256).
+    y_ref rows 0..1 are garbage (sliced off).
+    """
+    lvl = lvl_ref[:]    # [3, V]
+    fb = fb_ref[:]      # [3, V]
+    mix = mix_ref[:]    # [1, V]
+    zero = jnp.zeros_like(mix)
+    one = jnp.ones_like(mix)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, lvl.shape, 0)
+    # pm = rotate(prev) * w1 + y3_d2 * w2:
+    #   rows (0, y3[i-1]*(1-mix), y2[i-2]*1) + (0, 0, y3[i-2]*mix)
+    w1 = jnp.concatenate([zero, 1.0 - mix, one], axis=0)
+    w2 = jnp.concatenate([zero, zero, mix], axis=0)
+
+    def sample(i, carry):
+        ph, prev, y3_d2 = carry
+        env = jnp.concatenate([env3_ref[pl.ds(i, 1), :],
+                               env2_ref[pl.ds(i, 1), :],
+                               env1_ref[pl.ds(i, 1), :]], axis=0)
+        dt = jnp.concatenate([dt3_ref[pl.ds(i, 1), :],
+                              dt2_ref[pl.ds(i, 1), :],
+                              dt1_ref[pl.ds(i, 1), :]], axis=0)
+        rot = jnp.concatenate([prev[2:3, :], prev[0:2, :]], axis=0)
+        pm = rot * w1 + y3_d2 * w2
+        y = jnp.sin((ph + pm + prev * fb) * TAU) * env * lvl
+        active = jnp.logical_and(i >= rowid, i < B + rowid)
+        nph = ph + dt
+        ph = jnp.where(active, nph - jnp.trunc(nph), ph)
+        carry = (ph, jnp.where(active, y, prev), prev[0:1, :])
+        return carry, y[2:3, :]
+
+    def body(k, carry):
+        rows = []
+        for j in range(U):
+            carry, y1 = sample(k * U + j, carry)
+            rows.append(y1)
+        y_ref[pl.ds(k * U, U), :] = jnp.concatenate(rows, axis=0)
+        return carry
+
+    NI = y_ref.shape[0]  # B + 2 rounded up to U (wrapper guarantees)
+    ph, prev, y3_d2 = jax.lax.fori_loop(
+        0, NI // U, body, (ph_ref[:], prev_ref[:], prev_ref[0:1, :]))
+    ph_o[:] = ph
+    prev_o[:] = prev
+    d2_o[:] = y3_d2
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
                    interpret: bool = False):
@@ -102,30 +164,33 @@ def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
     """
     B, V = env3.shape
     padV = (-V) % 128
-    padB = (-B) % 8
+    U = 8
+    NI = -(-(B + 2) // U) * U  # pipeline prologue(2) + round up to U
+
+    def shifted(x, lag):
+        # row r's stream read at iteration i = its sample i - lag
+        return jnp.pad(x, ((lag, NI - B - lag), (0, padV)))
 
     def p3(x):
         return jnp.pad(x, ((0, 0), (0, padV)))
 
-    def pBV(x):
-        return jnp.pad(x, ((0, padB), (0, padV)))
-
     mix_row = jnp.pad(jnp.reshape(mix, (1, -1)), ((0, 0), (0, padV)))
-    U = 8 if B % 8 == 0 else 1
-    y, ph, pv = pl.pallas_call(
-        functools.partial(_chain3_kernel, B, U),
+    y, ph, pv, _ = pl.pallas_call(
+        functools.partial(_chain3_pipe_kernel, B, U),
         out_shape=(
-            jax.ShapeDtypeStruct((B + padB, V + padV), jnp.float32),
+            jax.ShapeDtypeStruct((NI, V + padV), jnp.float32),
             jax.ShapeDtypeStruct((3, V + padV), jnp.float32),
             jax.ShapeDtypeStruct((3, V + padV), jnp.float32),
+            jax.ShapeDtypeStruct((1, V + padV), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4,
         interpret=interpret,
     )(p3(phases), p3(prevs),
-      jnp.pad(dt, ((0, 0), (0, padB), (0, padV))), p3(lvl), p3(fb),
-      mix_row, pBV(env3), pBV(env2), pBV(env1))
-    return y[:B, :V], ph[:, :V], pv[:, :V]
+      shifted(dt[0], 0), shifted(dt[1], 1), shifted(dt[2], 2),
+      p3(lvl), p3(fb), mix_row,
+      shifted(env3, 0), shifted(env2, 1), shifted(env1, 2))
+    return y[2:B + 2, :V], ph[:, :V], pv[:, :V]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -36,13 +36,14 @@ def _pad_to(x, mult, axis):
 
 
 # --------------------------------------------------------------------- #
-def _tpt_kernel(B, x_ref, h_ref, g_ref, k_ref, z0_ref, z1_ref,
+def _tpt_kernel(B, U, x_ref, h_ref, g_ref, k_ref, z0_ref, z1_ref,
                 y_ref, z0o_ref, z1o_ref):
     # B = true block length (bound via partial): looping the padded
     # shape would advance the integrator states on phantom zero input.
+    # U = unroll factor (amortizes fori_loop overhead).
     const_coef = h_ref.shape[0] == 1
 
-    def body(t, carry):
+    def sample(t, carry):
         z0, z1 = carry
         x = x_ref[pl.ds(t, 1), :]
         if const_coef:
@@ -57,10 +58,17 @@ def _tpt_kernel(B, x_ref, h_ref, g_ref, k_ref, z0_ref, z1_ref,
         high = (x - z0 * k - z1) * h
         band = high * g + z0
         low = band * g + z1
-        y_ref[pl.ds(t, 1), :] = low
-        return (high * g + band, band * g + low)
+        return (high * g + band, band * g + low), low
 
-    z0, z1 = jax.lax.fori_loop(0, B, body, (z0_ref[:], z1_ref[:]))
+    def body(i, carry):
+        rows = []
+        for j in range(U):
+            carry, low = sample(i * U + j, carry)
+            rows.append(low)
+        y_ref[pl.ds(i * U, U), :] = jnp.concatenate(rows, axis=0)
+        return carry
+
+    z0, z1 = jax.lax.fori_loop(0, B // U, body, (z0_ref[:], z1_ref[:]))
     z0o_ref[:] = z0
     z1o_ref[:] = z1
 
@@ -90,7 +98,7 @@ def tpt_svf_scan(x, h, g, k, z0, z1, interpret: bool = False):
         return r
 
     y, z0o, z1o = pl.pallas_call(
-        functools.partial(_tpt_kernel, B),
+        functools.partial(_tpt_kernel, B, 8 if B % 8 == 0 else 1),
         out_shape=(
             jax.ShapeDtypeStruct(xp.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.float32),
@@ -104,24 +112,32 @@ def tpt_svf_scan(x, h, g, k, z0, z1, interpret: bool = False):
 
 
 # --------------------------------------------------------------------- #
-def _biquad_kernel(B, x_ref, b0_ref, b1_ref, b2_ref, a1_ref, a2_ref,
+def _biquad_kernel(B, U, x_ref, b0_ref, b1_ref, b2_ref, a1_ref, a2_ref,
                    v1_ref, v2_ref, y_ref, v1o_ref, v2o_ref):
-    # B = true block length (bound via partial; padded tail must not run)
+    # B = true block length (bound via partial; padded tail must not
+    # run); U = unroll factor.
     b0 = b0_ref[:]
     b1 = b1_ref[:]
     b2 = b2_ref[:]
     a1 = a1_ref[:]
     a2 = a2_ref[:]
 
-    def body(t, carry):
+    def sample(t, carry):
         v1, v2 = carry
         x = x_ref[pl.ds(t, 1), :]
         # Direct Form II Transposed (iir_lowpass/mod.rs:109-132)
         out = b0 * x + v1
-        y_ref[pl.ds(t, 1), :] = out
-        return (b1 * x - a1 * out + v2, b2 * x - a2 * out)
+        return (b1 * x - a1 * out + v2, b2 * x - a2 * out), out
 
-    v1, v2 = jax.lax.fori_loop(0, B, body, (v1_ref[:], v2_ref[:]))
+    def body(i, carry):
+        rows = []
+        for j in range(U):
+            carry, out = sample(i * U + j, carry)
+            rows.append(out)
+        y_ref[pl.ds(i * U, U), :] = jnp.concatenate(rows, axis=0)
+        return carry
+
+    v1, v2 = jax.lax.fori_loop(0, B // U, body, (v1_ref[:], v2_ref[:]))
     v1o_ref[:] = v1
     v2o_ref[:] = v2
 
@@ -138,7 +154,7 @@ def biquad_scan(x, b0, b1, b2, a1, a2, v1, v2, interpret: bool = False):
         return r
 
     y, v1o, v2o = pl.pallas_call(
-        functools.partial(_biquad_kernel, B),
+        functools.partial(_biquad_kernel, B, 8 if B % 8 == 0 else 1),
         out_shape=(
             jax.ShapeDtypeStruct(xp.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.float32),

@@ -19,15 +19,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(B, phase0_ref, dt_ref, out_ref, carry_ref):
-    # B = true block length (bound via partial), not the padded shape
+def _kernel(B, U, phase0_ref, dt_ref, out_ref, carry_ref):
+    # B = true block length (bound via partial), not the padded shape;
+    # U = unroll factor (amortizes fori_loop overhead)
 
-    def body(t, p):
-        out_ref[pl.ds(t, 1), :] = p
-        p = p + dt_ref[pl.ds(t, 1), :]
-        return p - jnp.floor(p)  # rem_euclid(1.0)
+    def body(i, p):
+        rows = []
+        for j in range(U):
+            rows.append(p)
+            p = p + dt_ref[pl.ds(i * U + j, 1), :]
+            p = p - jnp.floor(p)  # rem_euclid(1.0)
+        out_ref[pl.ds(i * U, U), :] = jnp.concatenate(rows, axis=0)
+        return p
 
-    carry_ref[:] = jax.lax.fori_loop(0, B, body, phase0_ref[:])
+    carry_ref[:] = jax.lax.fori_loop(0, B // U, body, phase0_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -44,7 +49,7 @@ def phase_scan(phase0, dt, interpret: bool = False):
     dt_p = jnp.pad(dt, ((0, padB), (0, padV)))
     p0 = jnp.pad(jnp.reshape(phase0, (1, -1)), ((0, 0), (0, padV)))
     out, carry = pl.pallas_call(
-        functools.partial(_kernel, B),
+        functools.partial(_kernel, B, 8 if B % 8 == 0 else 1),
         out_shape=(
             jax.ShapeDtypeStruct(dt_p.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, dt_p.shape[1]), jnp.float32),
