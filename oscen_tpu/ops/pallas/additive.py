@@ -24,14 +24,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .util import pick_unroll
+
 INTERP = 64.0
 
 
-_UNROLL = 8  # samples per loop iteration (amortizes fori_loop overhead)
+_UNROLL = 8  # minimum block-length granularity for the fused kernel
 
 
-def _kernel(or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
+def _kernel(U, or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
             step_ref, y_ref, or_o, oi_o, cur_o, tgt_o, step_o):
+    # U = unroll factor (bound via partial; adaptive up to 64)
     mr = mr_ref[:]
     mi = mi_ref[:]
     mult = mult_ref[:]
@@ -53,15 +56,14 @@ def _kernel(or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
 
     def body(i, carry):
         rows = []
-        for _ in range(_UNROLL):
+        for _ in range(U):
             carry, y = sample(carry)
             rows.append(y)
-        y_ref[pl.ds(i * _UNROLL, _UNROLL), :] = jnp.concatenate(rows,
-                                                                axis=0)
+        y_ref[pl.ds(i * U, U), :] = jnp.concatenate(rows, axis=0)
         return carry
 
     osc_r, osc_i, cur, tgt, s = jax.lax.fori_loop(
-        0, B // _UNROLL, body,
+        0, B // U, body,
         (or_ref[:], oi_ref[:], cur_ref[:], tgt_ref[:], step_ref[:]))
     or_o[:] = osc_r
     oi_o[:] = osc_i
@@ -110,7 +112,7 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
 
     plane = jax.ShapeDtypeStruct((Hp, Vp), jnp.float32)
     y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, pick_unroll(block_len)),
         grid=(n_tiles,),
         out_shape=(
             jax.ShapeDtypeStruct((block_len, Vp), jnp.float32),

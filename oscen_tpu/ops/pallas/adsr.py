@@ -118,9 +118,9 @@ def adsr_scan(state7, a_n, d_n, r_n, a_c, d_c, sus_param,
     def row(v):
         return jnp.pad(jnp.reshape(v, (1, -1)), ((0, 0), (0, padV)))
 
-    U = 8 if B % 8 == 0 else 1
+    from .util import pick_unroll
     y, st = pl.pallas_call(
-        functools.partial(_kernel, B, U),
+        functools.partial(_kernel, B, pick_unroll(B)),
         out_shape=(
             jax.ShapeDtypeStruct((B + padB, V + padV), jnp.float32),
             jax.ShapeDtypeStruct((7, V + padV), jnp.float32),

@@ -17,27 +17,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .util import pick_unroll
+
 TAU = 2.0 * math.pi
 
 
-def _kernel(B, phase0_ref, prev0_ref, dt_ref, pm_ref, fb_ref, env_ref,
+def _kernel(B, U, phase0_ref, prev0_ref, dt_ref, pm_ref, fb_ref, env_ref,
             lvl_ref, y_ref, phase_o, prev_o):
     # B = true block length (bound via partial): looping the padded
     # shape would zero the prev_output carry on the padded tail.
+    # U = unroll factor.
 
-    def body(t, carry):
+    def sample(t, carry):
         phase, prev = carry
         # exact reference op order (fm_operator.rs:57-77)
         fbm = prev * fb_ref[pl.ds(t, 1), :]
         total_pm = pm_ref[pl.ds(t, 1), :] + fbm
         y = jnp.sin((phase + total_pm) * TAU) \
             * env_ref[pl.ds(t, 1), :] * lvl_ref[pl.ds(t, 1), :]
-        y_ref[pl.ds(t, 1), :] = y
         phase = phase + dt_ref[pl.ds(t, 1), :]
-        phase = phase - jnp.trunc(phase)  # Rust .fract()
-        return (phase, y)
+        return (phase - jnp.trunc(phase), y), y  # Rust .fract()
 
-    phase, prev = jax.lax.fori_loop(0, B, body,
+    def body(i, carry):
+        rows = []
+        for j in range(U):
+            carry, y = sample(i * U + j, carry)
+            rows.append(y)
+        y_ref[pl.ds(i * U, U), :] = jnp.concatenate(rows, axis=0)
+        return carry
+
+    phase, prev = jax.lax.fori_loop(0, B // U, body,
                                     (phase0_ref[:], prev0_ref[:]))
     phase_o[:] = phase
     prev_o[:] = prev
@@ -164,7 +173,9 @@ def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
     """
     B, V = env3.shape
     padV = (-V) % 128
-    U = 8
+    # U need not divide B (activity guards mask the rounded-up tail);
+    # 64 is the measured VPU sweet spot for unrolled sample loops
+    U = 64 if B + 2 >= 64 else 8
     NI = -(-(B + 2) // U) * U  # pipeline prologue(2) + round up to U
 
     def shifted(x, lag):
@@ -212,7 +223,7 @@ def fm_operator_scan(phase0, prev0, dt, pm, fb, env, lvl,
         return jnp.pad(jnp.reshape(v, (1, -1)), ((0, 0), (0, padV)))
 
     y, phase, prev = pl.pallas_call(
-        functools.partial(_kernel, B),
+        functools.partial(_kernel, B, pick_unroll(B)),
         out_shape=(
             jax.ShapeDtypeStruct((B + padB, V + padV), jnp.float32),
             jax.ShapeDtypeStruct((1, V + padV), jnp.float32),

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .util import pick_unroll
+
 __all__ = ["tpt_svf_scan", "biquad_scan"]
 
 
@@ -98,7 +100,7 @@ def tpt_svf_scan(x, h, g, k, z0, z1, interpret: bool = False):
         return r
 
     y, z0o, z1o = pl.pallas_call(
-        functools.partial(_tpt_kernel, B, 8 if B % 8 == 0 else 1),
+        functools.partial(_tpt_kernel, B, pick_unroll(B)),
         out_shape=(
             jax.ShapeDtypeStruct(xp.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.float32),
@@ -154,7 +156,7 @@ def biquad_scan(x, b0, b1, b2, a1, a2, v1, v2, interpret: bool = False):
         return r
 
     y, v1o, v2o = pl.pallas_call(
-        functools.partial(_biquad_kernel, B, 8 if B % 8 == 0 else 1),
+        functools.partial(_biquad_kernel, B, pick_unroll(B)),
         out_shape=(
             jax.ShapeDtypeStruct(xp.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.float32),

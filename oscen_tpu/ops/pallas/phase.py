@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .util import pick_unroll
+
 
 def _kernel(B, U, phase0_ref, dt_ref, out_ref, carry_ref):
     # B = true block length (bound via partial), not the padded shape;
@@ -49,7 +51,7 @@ def phase_scan(phase0, dt, interpret: bool = False):
     dt_p = jnp.pad(dt, ((0, padB), (0, padV)))
     p0 = jnp.pad(jnp.reshape(phase0, (1, -1)), ((0, 0), (0, padV)))
     out, carry = pl.pallas_call(
-        functools.partial(_kernel, B, 8 if B % 8 == 0 else 1),
+        functools.partial(_kernel, B, pick_unroll(B)),
         out_shape=(
             jax.ShapeDtypeStruct(dt_p.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, dt_p.shape[1]), jnp.float32),
