@@ -769,7 +769,10 @@ class Graph:
 
     # ------------------------------------------------------------------ #
     def compile(self, sample_rate: float = 44100.0, block_size: int = 512,
-                mode: str = "sample", jit: bool = True):
+                mode: str = "block", jit: bool = True):
+        """Compile to a :class:`CompiledGraph`.  ``mode="block"`` (default)
+        is the fast vectorized path; ``mode="sample"`` replays the
+        reference's per-sample schedule op for op (the parity anchor)."""
         from .compile import CompiledGraph
         ir = self.lower()
         return CompiledGraph(ir, sample_rate=sample_rate,

@@ -13,23 +13,33 @@ import time
 import jax
 
 
-def measure_rtf(compiled, n_blocks: int = 256, trials: int = 3) -> dict:
-    """Real-time factor of the fused steady-state render (best-of-N;
-    remote-tunnel variance makes single runs unreliable)."""
-    out = compiled.render_steady(n_blocks)
-    first = next(v for v in out.values() if hasattr(v, "shape"))
-    jax.block_until_ready(first)
-    best = float("inf")
-    for _ in range(max(trials, 1)):
+def measure_rtf(compiled, n_blocks: int = 2048, trials: int = 5) -> dict:
+    """Real-time factor of the fused steady-state render.
+
+    Methodology (PERF.md): times a long and a short on-device span via
+    ``steady_checksum`` (all compute forced, 4-byte fetch) and subtracts,
+    cancelling the remote-tunnel round-trip; the median of ``trials``
+    differences is reported (min-of-N is optimistically biased under
+    fluctuating RTT).  This is the measurement primitive ``bench.py``
+    uses.
+    """
+    n_small = max(n_blocks // 8, 1)
+    for n in (n_small, n_blocks):  # compile/warm both span lengths
+        compiled.steady_checksum(n)
+
+    def span(n):
         t0 = time.perf_counter()
-        out = compiled.render_steady(n_blocks)
-        jax.block_until_ready(
-            next(v for v in out.values() if hasattr(v, "shape")))
-        best = min(best, time.perf_counter() - t0)
-    frames = n_blocks * compiled.block_size
-    rtf = (frames / compiled.sample_rate) / best
-    return {"rtf": rtf, "seconds_per_block": best / n_blocks,
-            "us_per_block": best / n_blocks * 1e6,
+        compiled.steady_checksum(n)
+        return time.perf_counter() - t0
+
+    diffs = sorted(span(n_blocks) - span(n_small)
+                   for _ in range(max(trials, 1)))
+    dt = max(diffs[len(diffs) // 2], 1e-9)
+    frames = (n_blocks - n_small) * compiled.block_size
+    per_block = dt / (n_blocks - n_small)
+    return {"rtf": (frames / compiled.sample_rate) / dt,
+            "seconds_per_block": per_block,
+            "us_per_block": per_block * 1e6,
             "frames": frames}
 
 

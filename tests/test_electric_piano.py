@@ -45,6 +45,47 @@ def test_nested_graph_flattening():
     np.testing.assert_allclose(out, expected, atol=1e-6)
 
 
+def test_nested_rate_propagates_to_grandchildren():
+    """A rate=N subgraph's nodes — including nodes of a nested sub-sub-
+    graph — run at N x the base rate (reference
+    tests/sample_rate_propagation.rs: grandchild nodes see sr * factor).
+    An oscillator pitched at f inside a 2x region must still produce f
+    at the base-rate output (its phase increment uses the scaled sr)."""
+    from oscen_tpu import HardClip
+
+    grandchild = Graph("GC")
+    grandchild.input("x", "stream")
+    grandchild.output("out", "stream")
+    osc = grandchild.add("osc", Oscillator.sine(1000.0, 1.0))
+    mix = grandchild.add("g", Gain(1.0))
+    grandchild.connect("x", mix.input)
+    grandchild.connect(osc.output, "out")
+
+    child = Graph("Child")
+    child.input("x", "stream")
+    child.output("out", "stream")
+    gc = child.add("gc", grandchild)
+    clip = child.add("clip", HardClip())
+    child.connect("x", gc.x)
+    child.connect(gc.out, clip.input)
+    child.connect(clip.output, "out")
+
+    outer = Graph("Outer")
+    outer.input("x", "stream")
+    outer.output("y", "stream")
+    sub = outer.add("sub", child, rate=2)
+    outer.connect("x", sub.x)
+    outer.connect(sub.out, "y", policy="sinc")
+
+    c = outer.compile(48000.0, block_size=512)
+    out = np.asarray(c.render_mono(8192))[2048:]
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    freqs = np.fft.rfftfreq(len(out), 1 / 48000.0)
+    peak_hz = freqs[spec.argmax()]
+    # if the grandchild saw the unscaled sr, the tone would land at 2 kHz
+    assert abs(peak_hz - 1000.0) < 10.0, peak_hz
+
+
 def test_voice_produces_harmonics():
     g = Graph("V")
     g.input("gate", "event")

@@ -43,6 +43,26 @@ def test_sinc_fir_passband_roundtrip(n):
     assert err < 0.1, err
 
 
+def test_sinc_fir_passband_is_bug_sensitive():
+    """The passband threshold would actually catch a broken kernel: a
+    corrupted filter-history state blows the error far past the 0.1
+    threshold (reference resample_kernels.rs:355-466, which documents
+    'corrupting prev_odd_in -> max_err 0.75 vs threshold 0.1')."""
+    sr = 48_000.0
+    t = np.arange(4096, dtype=np.float32)
+    x = np.sin(2 * np.pi * 1000.0 * t / sr).astype(np.float32)
+    up, down = rs.SincUpFir(2), rs.SincDownFir(2)
+    su = up.init_state(jnp.zeros((1,)))
+    # corrupt one stage's carried history the way a wrong-index bug would
+    su = jax.tree_util.tree_map(lambda h: h + 0.5, su)
+    sd = down.init_state(jnp.zeros((1,)))
+    su, hi = jax.jit(up.process_block)(su, jnp.asarray(x))
+    sd, lo = jax.jit(down.process_block)(sd, hi)
+    delay = round(2 * rs.HALFBAND_23_GROUP_DELAY * 1 / 2)
+    err = np.abs(np.asarray(lo)[:600] - np.roll(x, delay)[:600]).max()
+    assert err > 0.1, err  # the quality gate is sensitive to state bugs
+
+
 @pytest.mark.parametrize("n", [2, 4, 8])
 def test_iir_halfband_passband_roundtrip(n):
     sr = 48_000.0
