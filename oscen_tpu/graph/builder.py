@@ -450,6 +450,12 @@ class Graph:
         ir.nodes = dict(self._nodes)
         ir.asset_bindings = list(self._asset_bindings)
 
+        # Lowering must be idempotent: check() then compile(), or two
+        # compiles of the same builder, each get a fresh via-usage set and
+        # deterministic synthesized-node names.
+        self._via_used = set()
+        self._synth_counter = 0
+
         diags: List[str] = []
 
         def step(fn, *args):

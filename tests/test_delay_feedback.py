@@ -175,3 +175,43 @@ def test_chunked_delay_fractional():
 
     np.testing.assert_allclose(run("sample", 0), run("block", 40),
                                atol=1e-6)
+
+
+def test_lowering_is_idempotent_with_named_via():
+    """check() then compile(), or compiling twice, must not raise a
+    spurious 'via node used by more than one connection' error
+    (lowering state must not leak across lower() calls)."""
+    def build():
+        g = Graph("ViaTwice")
+        g.input("x", "stream")
+        g.output("out", "stream")
+        mix = g.add("mix", Gain(1.0))
+        echo = g.add("echo", Delay(50.0, 0.0))
+        g.connect("x", mix.input)
+        g.connect(mix.output * 0.5, mix.input, via="echo")
+        g.connect(mix.output, "out")
+        return g
+
+    g = build()
+    assert g.check() == []
+    c1 = g.compile(48000.0, block_size=64)
+    c2 = g.compile(48000.0, block_size=64)
+    x = np.zeros(64, np.float32)
+    x[0] = 1.0
+    a = np.asarray(c1.process_block(stream_inputs={"x": x})["out"])
+    b = np.asarray(c2.process_block(stream_inputs={"x": x})["out"])
+    np.testing.assert_array_equal(a, b)
+
+    # inline-sample vias synthesize nodes: names must be deterministic
+    # across lower() calls (checkpoint key stability)
+    g2 = Graph("InlineTwice")
+    g2.output("out", "stream")
+    from oscen_tpu import Oscillator
+    o = g2.add("o", Oscillator.sine(220.0, 0.5))
+    m = g2.add("m", Gain(1.0))
+    g2.connect(o.output, m.input)
+    g2.connect(m.output * 0.25, m.input, via=16)
+    g2.connect(m.output, "out")
+    ir1 = g2.lower()
+    ir2 = g2.lower()
+    assert set(ir1.nodes) == set(ir2.nodes)
