@@ -852,8 +852,11 @@ class CompiledGraph:
                stream_inputs: Optional[Dict[str, Any]] = None,
                tail: int = 0) -> Dict[str, np.ndarray]:
         """Offline render (BlockRender analogue, graph/offline.rs:19-113):
-        chunked block processing, input padding, tail silence.  Bit-identical
-        to the realtime path — a driver, not a different algorithm."""
+        chunked block processing, input padding, tail silence.  A driver
+        over :meth:`process_block`, not a different algorithm — and output
+        is bit-identical across block sizes for block-constant node
+        parameters (sequential-exact phase/IIR scans + stage-entry-based
+        envelope closed forms; see tests/test_block_invariance.py)."""
         total = int(num_frames) + int(tail)
         chunks: List[Dict[str, Any]] = []
         pos = 0

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..core.types import SampleRate, stream, value
 from ..graph.node import Node
-from ..ops.scan import wrapped_phase_cumsum
+from ..ops.scan import exact_wrapped_phase
 
 TAU = 2.0 * math.pi
 
@@ -142,7 +142,7 @@ class Tremolo(Node):
 
     def process_block(self, state, ins, events, sr, block_len):
         dt = ins["rate"] / sr.hz
-        before, carry = wrapped_phase_cumsum(state["phase"], dt)
+        before, carry = exact_wrapped_phase(state["phase"], dt)
         out = self._pan(ins["input"], before, ins["depth"])
         return {"phase": carry}, {"output": out}
 

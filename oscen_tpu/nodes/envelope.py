@@ -66,8 +66,12 @@ def _update_sustain_level(state, ins, velocity, sr_hz):
     rem = jnp.where(jnp.logical_and(in_timed, has_rem), clamped, rem)
     target = jnp.where(jnp.logical_or(stage == DECAY, stage == SUSTAIN), sus,
                        jnp.where(stage == RELEASE, 0.0, state["target"]))
+    # keep the absolute-time bookkeeping consistent: stage_len = age + rem
+    # whenever rem was (possibly) clamped by a parameter change
+    stage_len = jnp.where(jnp.logical_and(in_timed, has_rem),
+                          state["age"] + rem, state["stage_len"])
     new = {**state, "sustain_level": sus, "velocity": velocity,
-           "rem": rem, "target": target}
+           "rem": rem, "target": target, "stage_len": stage_len}
     inc = jnp.where(stage == RELEASE,
                     _release_increment(stage, rem, state["level"]),
                     state["release_inc"])
@@ -85,7 +89,10 @@ def _set_stage(state, ins, stage_code, target, sr_hz):
                                   jnp.where(stage_code == RELEASE, r_n, 0)))
     target = jnp.clip(target, 0.0, 1.0)
     st = {**state, "stage": jnp.int32(stage_code) + jnp.int32(0),
-          "target": target, "rem": samples}
+          "target": target, "rem": samples,
+          "entry_level": state["level"],
+          "age": jnp.int32(0),
+          "stage_len": samples}
     st["release_inc"] = _release_increment(st["stage"], samples,
                                            st["level"])
     return st
@@ -114,6 +121,13 @@ class AdsrEnvelope(Node):
             "sustain_level": jnp.float32(self._sustain0),
             "velocity": jnp.float32(1.0),
             "release_inc": jnp.float32(0.0),
+            # absolute-time bookkeeping for the block-mode closed forms:
+            # level at stage entry, ticks since stage entry, stage length.
+            # Closed forms evaluated from these are pure functions of the
+            # absolute sample index — block-size invariant by construction.
+            "entry_level": jnp.float32(0.0),
+            "age": jnp.int32(0),
+            "stage_len": jnp.int32(0),
         }
 
     # ------------------------------------------------------------------ #
@@ -134,7 +148,9 @@ class AdsrEnvelope(Node):
         # --- gate OFF path ---
         idle = {**state, "stage": jnp.int32(IDLE),
                 "level": jnp.float32(0.0), "rem": jnp.int32(0),
-                "release_inc": jnp.float32(0.0)}
+                "release_inc": jnp.float32(0.0),
+                "entry_level": jnp.float32(0.0),
+                "age": jnp.int32(0), "stage_len": jnp.int32(0)}
         rel = _set_stage(state, ins, RELEASE, 0.0, sr_hz)
         off_state = _sel(ins["release"] <= MIN_TIME_SECONDS, idle, rel)
 
@@ -204,8 +220,24 @@ class AdsrEnvelope(Node):
         target = jnp.where(att_done, jnp.clip(sus, 0.0, 1.0),
                            st["target"])
 
+        # absolute-time bookkeeping (used by the block-mode closed forms)
+        stepped = jnp.logical_or(att_active,
+                                 jnp.logical_or(dec_active, rel_active))
+        any_done = jnp.logical_or(att_done,
+                                  jnp.logical_or(dec_done, rel_done))
+        age = jnp.where(stepped, st["age"] + 1, st["age"])
+        age = jnp.where(any_done, 0, age).astype(jnp.int32)
+        entry = jnp.where(att_done, jnp.float32(1.0),
+                 jnp.where(dec_done, sus,
+                  jnp.where(rel_done, 0.0, st["entry_level"])))
+        stage_len = jnp.where(att_done, d_n,
+                     jnp.where(jnp.logical_or(dec_done, rel_done), 0,
+                               st["stage_len"])).astype(jnp.int32)
+
         out_state = {**st, "stage": new_stage, "rem": rem, "level": level,
-                     "target": target, "release_inc": release_inc}
+                     "target": target, "release_inc": release_inc,
+                     "entry_level": entry, "age": age,
+                     "stage_len": stage_len}
         return out_state, {"output": level}
 
 
@@ -254,30 +286,38 @@ class AdsrEnvelope(Node):
                     r_n.astype(jnp.float32), a_c, d_c)
 
         def seg_levels(st, p, k):
-            """Level after k+1 ticks from segment-start state ``st``
-            (k may be fractional/array; negative masked by caller)."""
+            """Level after k+1 ticks into the segment (k may be an array;
+            negative values are masked by the caller).
+
+            Closed forms are *stage-entry-based*: pure functions of the
+            absolute tick count since stage entry (``age + k + 1``) and the
+            level at stage entry.  Integer positions are exact in f32, so
+            the same absolute sample index yields the bit-identical level no
+            matter where block/segment boundaries fall — block-size
+            invariance by construction (tests/block_processing_test.rs
+            property)."""
             a_n, d_n, r_n, a_c, d_c = consts(p)
             sus = jnp.clip(p["sustain"] * st["velocity"], 0.0, 1.0)
-            rem = jnp.maximum(st["rem"].astype(jnp.float32), 0.0)
-            lvl0 = st["level"]
-            kp1 = k + 1.0
+            ln = jnp.maximum(st["stage_len"].astype(jnp.float32), 0.0)
+            entry = st["entry_level"]
+            tau = (st["age"].astype(jnp.float32) + k) + 1.0
 
-            # ATTACK: toward 1, snap at rem; then DECAY for d_n; then SUS
-            att = 1.0 - (1.0 - lvl0) * pw(1.0 - a_c, kp1)
-            att = jnp.where(kp1 >= rem, 1.0, att)
-            u = kp1 - rem  # decay steps after attack end
+            # ATTACK: toward 1, snap at stage end; then DECAY for d_n; SUS
+            att = 1.0 - (1.0 - entry) * pw(1.0 - a_c, tau)
+            att = jnp.where(tau >= ln, 1.0, att)
+            u = tau - ln  # decay steps after attack end (entry level 1.0)
             att_dec = sus + (1.0 - sus) * pw(1.0 - d_c, u)
             att_dec = jnp.where(u >= d_n, sus, att_dec)
-            attack_lv = jnp.where(kp1 <= rem, att,
+            attack_lv = jnp.where(tau <= ln, att,
                                   jnp.where(u <= d_n, att_dec, sus))
 
-            # DECAY: toward sus, snap at rem; then SUSTAIN
-            dec = sus + (lvl0 - sus) * pw(1.0 - d_c, kp1)
-            decay_lv = jnp.where(kp1 >= rem, sus, dec)
+            # DECAY: toward sus, snap at stage end; then SUSTAIN
+            dec = sus + (entry - sus) * pw(1.0 - d_c, tau)
+            decay_lv = jnp.where(tau >= ln, sus, dec)
 
-            # RELEASE: linear to 0 over rem; then IDLE
-            rel = lvl0 * jnp.maximum(rem - kp1, 0.0) / jnp.maximum(rem, 1.0)
-            release_lv = jnp.where(kp1 >= rem, 0.0, rel)
+            # RELEASE: linear from entry level to 0 over the stage length
+            rel = entry * jnp.maximum(ln - tau, 0.0) / jnp.maximum(ln, 1.0)
+            release_lv = jnp.where(tau >= ln, 0.0, rel)
 
             stage = st["stage"]
             lv = jnp.where(stage == ATTACK, attack_lv,
@@ -287,38 +327,57 @@ class AdsrEnvelope(Node):
             return jnp.clip(lv, 0.0, 1.0)
 
         def seg_end_state(st, p, n):
-            """State after n ticks (n dynamic scalar >= 0)."""
+            """State after n ticks (n dynamic scalar >= 0).  All stage
+            bookkeeping is exact int32 arithmetic on absolute positions."""
             a_n, d_n, r_n, a_c, d_c = consts(p)
+            d_ni = d_n.astype(jnp.int32)
             sus = jnp.clip(p["sustain"] * st["velocity"], 0.0, 1.0)
-            rem = jnp.maximum(st["rem"].astype(jnp.float32), 0.0)
+            ln = st["stage_len"]
             nf = n.astype(jnp.float32)
             lvl_end = jnp.where(nf > 0, seg_levels(st, p, nf - 1.0),
                                 st["level"])
             stage = st["stage"]
+            tau_end = st["age"] + n  # int32, exact
 
-            # stage/rem transitions
-            att_in_attack = nf < rem
-            att_in_decay = jnp.logical_and(nf >= rem, nf - rem < d_n)
+            in_stage = tau_end < ln
+            att_in_decay = jnp.logical_and(tau_end >= ln,
+                                           tau_end - ln < d_ni)
             new_stage = jnp.where(
                 stage == ATTACK,
-                jnp.where(att_in_attack, ATTACK,
+                jnp.where(in_stage, ATTACK,
                           jnp.where(att_in_decay, DECAY, SUSTAIN)),
                 jnp.where(
                     stage == DECAY,
-                    jnp.where(nf < rem, DECAY, SUSTAIN),
+                    jnp.where(in_stage, DECAY, SUSTAIN),
                     jnp.where(stage == RELEASE,
-                              jnp.where(nf < rem, RELEASE, IDLE),
+                              jnp.where(in_stage, RELEASE, IDLE),
                               stage))).astype(jnp.int32)
-            new_rem = jnp.where(
+            new_age = jnp.where(
                 stage == ATTACK,
-                jnp.where(att_in_attack, rem - nf,
-                          jnp.where(att_in_decay, d_n - (nf - rem), 0.0)),
-                jnp.where(jnp.logical_or(stage == DECAY, stage == RELEASE),
-                          jnp.maximum(rem - nf, 0.0),
-                          0.0)).astype(jnp.int32)
+                jnp.where(in_stage, tau_end,
+                          jnp.where(att_in_decay, tau_end - ln, 0)),
+                jnp.where(jnp.logical_and(
+                    jnp.logical_or(stage == DECAY, stage == RELEASE),
+                    in_stage), tau_end, 0)).astype(jnp.int32)
+            new_len = jnp.where(
+                stage == ATTACK,
+                jnp.where(in_stage, ln,
+                          jnp.where(att_in_decay, d_ni, 0)),
+                jnp.where(jnp.logical_and(
+                    jnp.logical_or(stage == DECAY, stage == RELEASE),
+                    in_stage), ln, 0)).astype(jnp.int32)
+            new_entry = jnp.where(
+                jnp.logical_and(stage == ATTACK, att_in_decay),
+                jnp.float32(1.0),
+                jnp.where(new_stage == SUSTAIN, sus,
+                          jnp.where(new_stage == IDLE, 0.0,
+                                    st["entry_level"])))
+            new_rem = jnp.maximum(new_len - new_age, 0).astype(jnp.int32)
             new_state = {**st, "stage": new_stage, "rem": new_rem,
                          "level": lvl_end,
                          "sustain_level": sus,
+                         "entry_level": new_entry,
+                         "age": new_age, "stage_len": new_len,
                          "target": jnp.where(
                              new_stage == RELEASE, 0.0,
                              jnp.where(new_stage >= DECAY, sus,

@@ -26,8 +26,6 @@ import numpy as np
 
 from ..core.types import SampleRate, stream, value
 from ..graph.node import Node
-from ..ops.scan import affine_scan_2x2
-
 PI = math.pi
 F32_EPS = float(np.finfo(np.float32).eps)
 DENORMAL_THRESHOLD = 1e-15
@@ -128,31 +126,42 @@ class TptFilter(Node):
             ins, sr.hz)
         h, g, k = st["h"], st["g"], st["k"]
         x = ins["input"]
-        if self.channels > 1:
-            h = h[..., None]
-            g = g[..., None]
-            k = k[..., None]
-
-        # One step: high = (x - k z0 - z1) h; z0' = (1-2ghk) z0 - 2gh z1 + 2gh x
-        #           z1' = 2g(1-ghk) z0 + (1-2g²h) z1 + 2g²h x
-        # y = low = g(1-ghk) z0 + (1-g²h) z1 + g²h x   (from pre-update z)
-        gh = g * h
-        ghk = gh * k
         z0c = state["z0"] + jnp.zeros_like(x[0])
         z1c = state["z1"] + jnp.zeros_like(x[0])
-        z0s, z1s = affine_scan_2x2(
-            1.0 - 2.0 * ghk, -2.0 * gh,
-            2.0 * g * (1.0 - ghk), 1.0 - 2.0 * g * gh,
-            2.0 * gh * x, 2.0 * g * gh * x, z0c, z1c)
-        z0_prev = jnp.concatenate([z0c[None], z0s[:-1]], axis=0)
-        z1_prev = jnp.concatenate([z1c[None], z1s[:-1]], axis=0)
-        y = (g * (1.0 - ghk)) * z0_prev + (1.0 - g * gh) * z1_prev \
-            + (g * gh) * x
+
+        # Sequential-exact integration (the reference's per-sample op order,
+        # tpt/mod.rs:108-123): bit-parity with tick and therefore
+        # block-size invariant.  TPU runs the voice-parallel Pallas scan;
+        # elsewhere a lax.scan replays the identical ops.
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas.iir import tpt_svf_scan
+            if self.channels > 1:
+                hc = jnp.broadcast_to(h[:, None], (block_len, self.channels))
+                gc = jnp.broadcast_to(g[:, None], (block_len, self.channels))
+                kc = jnp.broadcast_to(k[:, None], (block_len, self.channels))
+                y, z0n, z1n = tpt_svf_scan(x, hc, gc, kc, z0c, z1c)
+            else:
+                y, z0n, z1n = tpt_svf_scan(
+                    x[:, None], h[:, None], g[:, None], k[:, None],
+                    jnp.reshape(z0c, (1,)), jnp.reshape(z1c, (1,)))
+                y = y[:, 0]
+                z0n = z0n[0]
+                z1n = z1n[0]
+        else:
+            def step(carry, xs):
+                z0, z1 = carry
+                xt, ht, gt, kt = xs
+                high = (xt - z0 * kt - z1) * ht
+                band = high * gt + z0
+                low = band * gt + z1
+                return (high * gt + band, band * gt + low), low
+
+            (z0n, z1n), y = jax.lax.scan(step, (z0c, z1c), (x, h, g, k))
 
         new_state = {**{k2: (v[-1] if k2 in ("current_cutoff", "current_q",
                                              "h", "g", "r", "k") else v)
                         for k2, v in st.items()},
-                     "z0": z0s[-1], "z1": z1s[-1]}
+                     "z0": z0n, "z1": z1n}
         return new_state, {"output": y}
 
     def process_block_batched(self, state, ins, events, sr, block_len):
@@ -273,21 +282,37 @@ class IirLowpass(Node):
 
         x = ins["input"]
         x = jnp.where(jnp.abs(x) < DENORMAL_THRESHOLD, 0.0, x)
-        # DFII-t as affine recurrence on v=[v1,v2]:
-        # out = b0 x + v1
-        # v1' = -a1 v1 + v2 + (b1 - a1 b0) x
-        # v2' = -a2 v1 +      (b2 - a2 b0) x
-        v1s, v2s = affine_scan_2x2(
-            -a1, jnp.ones_like(x), -a2, jnp.zeros_like(x),
-            (b1 - a1 * b0) * x, (b2 - a2 * b0) * x,
-            state["v1"], state["v2"])
-        v1_prev = jnp.concatenate([state["v1"][None], v1s[:-1]], axis=0)
-        out = b0 * x + v1_prev
+        # Sequential-exact DFII-t (op-order parity with tick, including the
+        # denormal snaps on the state taps) — block-size invariant.  TPU
+        # uses the voice-parallel Pallas scan (hardware flushes denormals).
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas.iir import biquad_scan
+            y, v1n, v2n = biquad_scan(
+                x[:, None], b0[:, None], b1[:, None], b2[:, None],
+                a1[:, None], a2[:, None],
+                jnp.reshape(state["v1"], (1,)),
+                jnp.reshape(state["v2"], (1,)))
+            out = y[:, 0]
+            v1n = v1n[0]
+            v2n = v2n[0]
+        else:
+            def step(carry, xs):
+                v1, v2 = carry
+                xt, c0, c1, c2, d1, d2 = xs
+                o = c0 * xt + v1
+                v1 = c1 * xt - d1 * o + v2
+                v2 = c2 * xt - d2 * o
+                v1 = jnp.where(jnp.abs(v1) < DENORMAL_THRESHOLD, 0.0, v1)
+                v2 = jnp.where(jnp.abs(v2) < DENORMAL_THRESHOLD, 0.0, v2)
+                return (v1, v2), o
+
+            (v1n, v2n), out = jax.lax.scan(
+                step, (state["v1"], state["v2"]), (x, b0, b1, b2, a1, a2))
         counter_next = (state["frame_counter"] + block_len) \
             % self.FRAMES_PER_UPDATE
         return ({"b0": b0[-1], "b1": b1[-1], "b2": b2[-1],
                  "a1": a1[-1], "a2": a2[-1],
-                 "v1": v1s[-1], "v2": v2s[-1],
+                 "v1": v1n, "v2": v2n,
                  "frame_counter": jnp.int32(counter_next)},
                 {"output": out})
 

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..core.types import SampleRate, stream, value
 from ..graph.node import Node
-from ..ops.scan import wrapped_phase_cumsum
+from ..ops.scan import exact_wrapped_phase
 
 TAU = 2.0 * math.pi
 F32_EPS = float(np.finfo(np.float32).eps)
@@ -105,11 +105,11 @@ class Oscillator(Node):
 
     def process_block(self, state, ins, events, sr, block_len):
         dt = ins["frequency"] * (1.0 + ins["frequency_mod"]) / sr.hz
-        # Reference keeps phase in (-1, 1) via truncated remainder; starting
-        # from a wrapped carry the prefix-sum form is equivalent for the
-        # non-negative-frequency case and wraps negatives identically
-        # because outputs use `% 1.0` of the pre-increment phase.
-        before, carry = wrapped_phase_cumsum(state["phase"], dt)
+        # Reference keeps phase in (-1, 1) via truncated remainder; for the
+        # non-negative-frequency case floor- and trunc-wrap coincide and the
+        # sequential-exact scan is bit-identical to the per-sample tick
+        # (and therefore block-size invariant).
+        before, carry = exact_wrapped_phase(state["phase"], dt)
         out = _NAIVE_WAVEFORMS[self.waveform](_rust_rem(before))
         return ({"phase": carry},
                 {"output": out * ins["amplitude"]})
@@ -221,7 +221,7 @@ class PolyBlepOscillator(Node):
         frequency = jnp.maximum(
             ins["frequency"] * (1.0 + ins["frequency_mod"]), 0.0)
         fps = frequency / max(sr.hz, F32_EPS)
-        carry_before, carry = wrapped_phase_cumsum(state["phase"], fps)
+        carry_before, carry = exact_wrapped_phase(state["phase"], fps)
         pulse_width = jnp.clip(ins["pulse_width"], 0.0001, 0.9999)
         phase = _wrap_phase(carry_before + ins["phase_mod"])
         dt = jnp.minimum(fps, 1.0)

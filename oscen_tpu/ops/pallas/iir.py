@@ -118,15 +118,25 @@ def _biquad_kernel(B, U, x_ref, b0_ref, b1_ref, b2_ref, a1_ref, a2_ref,
                    v1_ref, v2_ref, y_ref, v1o_ref, v2o_ref):
     # B = true block length (bound via partial; padded tail must not
     # run); U = unroll factor.
-    b0 = b0_ref[:]
-    b1 = b1_ref[:]
-    b2 = b2_ref[:]
-    a1 = a1_ref[:]
-    a2 = a2_ref[:]
+    const_coef = b0_ref.shape[0] == 1
+    if const_coef:
+        b0c = b0_ref[:]
+        b1c = b1_ref[:]
+        b2c = b2_ref[:]
+        a1c = a1_ref[:]
+        a2c = a2_ref[:]
 
     def sample(t, carry):
         v1, v2 = carry
         x = x_ref[pl.ds(t, 1), :]
+        if const_coef:
+            b0, b1, b2, a1, a2 = b0c, b1c, b2c, a1c, a2c
+        else:
+            b0 = b0_ref[pl.ds(t, 1), :]
+            b1 = b1_ref[pl.ds(t, 1), :]
+            b2 = b2_ref[pl.ds(t, 1), :]
+            a1 = a1_ref[pl.ds(t, 1), :]
+            a2 = a2_ref[pl.ds(t, 1), :]
         # Direct Form II Transposed (iir_lowpass/mod.rs:109-132)
         out = b0 * x + v1
         return (b1 * x - a1 * out + v2, b2 * x - a2 * out), out
@@ -147,9 +157,21 @@ def _biquad_kernel(B, U, x_ref, b0_ref, b1_ref, b2_ref, a1_ref, a2_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def biquad_scan(x, b0, b1, b2, a1, a2, v1, v2, interpret: bool = False):
     """Biquad (DFII-t) over a block, voice-parallel; bit-parity with the
-    per-sample tick (minus denormal snaps — TPU flushes denormals)."""
+    per-sample tick (minus denormal snaps — TPU flushes denormals).
+
+    Coefficients may be block-constant ``[V]`` rows or per-sample
+    ``[B, V]`` (the mod-32 update cadence of IirLowpass)."""
     xp, B = _pad_to(x, 8, 0)
     xp, V = _pad_to(xp, 128, 1)
+
+    def coef(v):
+        v = jnp.asarray(v)
+        if v.ndim == 2:  # per-sample [B, V]
+            c, _ = _pad_to(v, 8, 0)
+            c, _ = _pad_to(c, 128, 1)
+            return c
+        r, _ = _pad_to(jnp.reshape(v, (1, -1)), 128, 1)
+        return r
 
     def row(v):
         r, _ = _pad_to(jnp.reshape(v, (1, -1)), 128, 1)
@@ -165,5 +187,5 @@ def biquad_scan(x, b0, b1, b2, a1, a2, v1, v2, interpret: bool = False):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
         interpret=interpret,
-    )(xp, row(b0), row(b1), row(b2), row(a1), row(a2), row(v1), row(v2))
+    )(xp, coef(b0), coef(b1), coef(b2), coef(a1), coef(a2), row(v1), row(v2))
     return y[:B, :V], v1o[0, :V], v2o[0, :V]

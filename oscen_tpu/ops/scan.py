@@ -91,6 +91,43 @@ def affine_scan_scalar(a, b, z0):
     return a_acc * z0 + b_acc
 
 
+def exact_wrapped_phase(phase0, dt):
+    """Sequential-exact wrapped phase accumulation.
+
+    Op-order parity with the per-sample tick (``p += dt; p -= floor(p)``),
+    which makes block-mode output *bit-identical across block sizes*: the
+    carry after N samples is the same f32 no matter where block boundaries
+    fall.  The prefix-sum form (:func:`wrapped_phase_cumsum`) reassociates
+    the adds and drifts ~1e-3 RMS per rendered second.
+
+    On TPU this dispatches to the Pallas phase kernel (sequential in time,
+    lanes across trailing dims); elsewhere it is a ``lax.scan``.
+
+    Returns ``(before [B, ...], carry [...])`` where ``before[t]`` is the
+    wrapped phase *prior* to adding ``dt[t]``.
+    """
+    trailing = dt.shape[1:]
+    p0 = jnp.broadcast_to(jnp.asarray(phase0, jnp.float32), trailing)
+    if jax.default_backend() == "tpu":
+        from .pallas.phase import phase_scan
+        B = dt.shape[0]
+        V = 1
+        for d in trailing:
+            V *= d
+        before, carry = phase_scan(jnp.reshape(p0, (V,)),
+                                   jnp.reshape(dt, (B, V)))
+        return jnp.reshape(before, dt.shape), jnp.reshape(carry, trailing)
+
+    def step(p, d):
+        out = p
+        p = p + d
+        p = p - jnp.floor(p)
+        return p, out
+
+    carry, before = jax.lax.scan(step, p0, dt)
+    return before, carry
+
+
 def wrapped_phase_cumsum(phase0, dt):
     """Phase accumulation ``phase[t] = wrap(phase0 + sum_{i<=t} dt[i])``.
 
