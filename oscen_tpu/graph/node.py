@@ -169,6 +169,19 @@ class HostNode(Node):
     def reset(self) -> None:
         """Return host state to its initial condition."""
 
+    def host_state(self):
+        """Snapshot this node's mutable control state (for checkpointing —
+        utils/checkpoint.py).  Default: a deep copy of the instance dict,
+        which covers plain-Python control state (LRU voice tables, current
+        note/frequency, counters)."""
+        import copy
+        return copy.deepcopy(self.__dict__)
+
+    def restore_host_state(self, snapshot) -> None:
+        """Restore a snapshot taken by :meth:`host_state`."""
+        import copy
+        self.__dict__.update(copy.deepcopy(snapshot))
+
     def tick(self, state, ins, sr):  # pragma: no cover
         raise TypeError(f"{type(self).__name__} is a host-domain node")
 

@@ -1,10 +1,13 @@
 """Checkpoint / resume for compiled graphs.
 
 The reference has no checkpointing (SURVEY §5.4); its nearest concepts are
-``prepare()`` and kernel ``reset()``.  Here the entire engine state — node
-states, feedback carries, resampler histories, ring buffers, FDL spectra —
-is one pytree, so save/restore is trivial and bit-exact: rendering after a
-restore continues identically (tested).
+``prepare()`` and kernel ``reset()``.  Here the engine state has three
+parts, all serialized: the device pytree (node states, feedback carries,
+resampler histories, ring buffers, FDL spectra), the host parameter/ramp
+state, and the host-domain control state (voice-allocator LRU tables,
+MIDI note tracking, pending un-consumed event queues).  Save/restore is
+bit-exact: rendering after a restore continues identically, including
+voice allocation in polyphonic graphs (tested).
 """
 
 from __future__ import annotations
@@ -14,17 +17,33 @@ import jax
 import numpy as np
 
 
+def _host_node_instances(compiled, name):
+    insts = compiled.prog.host_instances.get(name)
+    if insts is None:
+        insts = [compiled.ir.nodes[name].node]
+    return insts
+
+
 def save_state(compiled, path: str) -> None:
-    """Serialize a CompiledGraph's device state (plus host param/ramp
-    state) to ``path``."""
+    """Serialize a CompiledGraph's device state (plus host param/ramp and
+    host-domain control state) to ``path``."""
     host_params = {
         name: {"current": float(r.current), "target": float(r.target),
                "increment": float(r.increment),
                "frames_remaining": int(r.frames_remaining)}
         for name, r in compiled._params.items()}
+    host_nodes = {
+        name: [inst.host_state()
+               for inst in _host_node_instances(compiled, name)]
+        for name in compiled.prog.host_nodes}
+    pending_events = {
+        name: [(int(e.frame_offset), e.payload) for e in q]
+        for name, q in compiled._event_queues.items()}
     blob = {
         "state": jax.tree_util.tree_map(np.asarray, compiled.state),
         "params": host_params,
+        "host_nodes": host_nodes,
+        "pending_events": pending_events,
         "sample_rate": compiled.sample_rate,
         "graph": compiled.ir.name,
     }
@@ -52,3 +71,18 @@ def load_state(compiled, path: str) -> None:
         r.target = np.float32(p["target"])
         r.increment = np.float32(p["increment"])
         r.frames_remaining = int(p["frames_remaining"])
+    for name, snapshots in blob.get("host_nodes", {}).items():
+        if name not in compiled.prog.host_set:
+            continue
+        insts = _host_node_instances(compiled, name)
+        for inst, snap in zip(insts, snapshots):
+            inst.restore_host_state(snap)
+    if "pending_events" in blob:
+        from ..core.events import EventInstance
+        for q in compiled._event_queues.values():
+            q.clear()
+        for name, evs in blob["pending_events"].items():
+            q = compiled._event_queues.get(name)
+            if q is None:
+                continue
+            q.extend(EventInstance(off, payload) for off, payload in evs)

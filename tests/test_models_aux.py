@@ -185,3 +185,68 @@ def test_fused_fm_voice_matches_reference_structure():
         b = run(True, mode)
         rms = np.sqrt(np.mean((a - b) ** 2))
         assert rms < 1e-5, (mode, rms)
+
+
+def test_checkpoint_restores_host_domain_state(tmp_path):
+    """Mid-performance checkpoint of a polyphonic graph: restoring into a
+    FRESH compile must continue identically, including voice allocation
+    (host-side LRU tables), MIDI note tracking, and pending events."""
+    from oscen_tpu import (AdsrEnvelope, Gain, Graph, MidiParser,
+                           MidiVoiceHandler, Oscillator, VoiceAllocator,
+                           raw_midi_event)
+    from oscen_tpu.utils.checkpoint import load_state, save_state
+
+    def build():
+        N = 4
+        g = Graph("PolyCkpt")
+        g.input("midi_in", "event")
+        g.output("out", "stream")
+        parser = g.add("parser", MidiParser())
+        alloc = g.add("alloc", VoiceAllocator(N))
+        handlers = g.add("handlers", MidiVoiceHandler(), count=N)
+        envs = g.add("envs", AdsrEnvelope(0.001, 0.01, 1.0, 0.05), count=N)
+        oscs = g.add("oscs", Oscillator.sine(440.0, 0.25), count=N)
+        mix = g.add("mix", Gain(1.0))
+        g.connect("midi_in", parser.midi_in)
+        g.connect(parser.note_on, alloc.note_on)
+        g.connect(parser.note_off, alloc.note_off)
+        g.connect(alloc.voices, handlers.note_on)
+        g.connect(alloc.voices, handlers.note_off)
+        g.connect(handlers.gate, envs.gate)
+        g.connect(handlers.frequency, oscs.frequency)
+        g.connect(oscs.output * envs.output, mix.input)
+        g.connect(mix.output, "out")
+        return g
+
+    path = str(tmp_path / "ckpt.pkl")
+    c1 = build().compile(48000.0, block_size=128)
+    # fill all 4 voices, then release one -> allocator state is nontrivial
+    for note in (60, 64, 67, 72):
+        c1.queue_event("midi_in", 0, raw_midi_event([0x90, note, 100]))
+    c1.render_mono(1024)
+    c1.queue_event("midi_in", 0, raw_midi_event([0x80, 64, 0]))
+    c1.render_mono(256)
+    # pending (un-consumed) event must survive the checkpoint too
+    c1.queue_event("midi_in", 7, raw_midi_event([0x90, 76, 90]))
+    save_state(c1, path)
+
+    # continuation from the original
+    a = c1.render_mono(1024)
+    # note 76 must have stolen the RELEASED voice (64), not an active one:
+    # all of 60/67/72 still sound in the continuation
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    freqs = np.fft.rfftfreq(len(a), 1 / 48000.0)
+
+    # restored fresh instance
+    c2 = build().compile(48000.0, block_size=128)
+    load_state(c2, path)
+    b = c2.render_mono(1024)
+    np.testing.assert_array_equal(a, b)
+
+    # and it keeps matching after MORE events post-restore (allocator
+    # tables must be in the same LRU order in both instances)
+    for c in (c1, c2):
+        c.queue_event("midi_in", 3, raw_midi_event([0x90, 48, 110]))
+    a2 = c1.render_mono(512)
+    b2 = c2.render_mono(512)
+    np.testing.assert_array_equal(a2, b2)
