@@ -52,9 +52,11 @@ def _round_capacity(n: int) -> int:
 # Program: static schedule extracted from the IR
 # ===================================================================== #
 class _Program:
-    def __init__(self, ir: IrGraph, sample_rate: float):
+    def __init__(self, ir: IrGraph, sample_rate: float,
+                 block_size: Optional[int] = None):
         self.ir = ir
         self.sr = SampleRate(float(sample_rate))
+        self.block_size = block_size
         self.host_nodes: List[str] = [
             n for n in ir.order if ir.nodes[n].node.HOST]
         self.device_nodes: List[str] = [
@@ -137,6 +139,12 @@ class _Program:
         for name in self.device_nodes:
             inst = self.ir.nodes[name]
             s = inst.node.init_state(self.scaled_sr(inst))
+            # block-size-dependent extensions (e.g. the Convolver's FDL
+            # spectra/partition state); only exist when a block size is set
+            init_blk = getattr(inst.node, "init_block_state", None)
+            if init_blk is not None and self.block_size:
+                s = {**s, **init_blk(self.scaled_sr(inst),
+                                     int(self.block_size))}
             if inst.count > 1:
                 s = jax.tree_util.tree_map(
                     lambda x: jnp.broadcast_to(
@@ -512,7 +520,8 @@ class CompiledGraph:
         self.block_size = int(block_size)
         self.sample_rate = float(sample_rate)
         self._jit = jit
-        self.prog = _Program(ir, sample_rate)
+        self.prog = _Program(ir, sample_rate,
+                             block_size if mode == "block" else None)
         self._step = _SampleStep(self.prog)
 
         # host parameter state
@@ -534,7 +543,9 @@ class CompiledGraph:
         """Re-prepare: rebuild all node state at the given rate."""
         if sample_rate is not None and sample_rate != self.sample_rate:
             self.sample_rate = float(sample_rate)
-            self.prog = _Program(self.ir, self.sample_rate)
+            self.prog = _Program(
+                self.ir, self.sample_rate,
+                self.block_size if self.mode == "block" else None)
             self._step = _SampleStep(self.prog)
             self._block_fn_cache.clear()
         self.state = self.prog.init_device_state()

@@ -61,49 +61,48 @@ class BlockConvolver:
 
     # ------------------------------------------------------------------ #
     def ir_spectra(self, ir: np.ndarray) -> np.ndarray:
-        """Precompute per-partition spectra [P, nbins] complex64 from a
-        (possibly shorter) IR; excess capacity zero-pads."""
+        """Precompute per-partition spectra ``[P, nbins, ...]`` complex64
+        from a (possibly shorter) IR ``[len, ...]``; excess capacity
+        zero-pads.  Trailing dims (channels) pass through."""
         ir = np.asarray(ir, np.float32)
         cap = self.partitions * self.block
         if len(ir) > cap:
             raise ValueError(
                 f"IR length {len(ir)} exceeds capacity {cap}")
-        padded = np.zeros((cap,), np.float32)
+        trailing = ir.shape[1:]
+        padded = np.zeros((cap,) + trailing, np.float32)
         padded[:len(ir)] = ir
-        parts = padded.reshape(self.partitions, self.block)
-        buf = np.zeros((self.partitions, self.fft_size), np.float32)
+        parts = padded.reshape((self.partitions, self.block) + trailing)
+        buf = np.zeros((self.partitions, self.fft_size) + trailing,
+                       np.float32)
         buf[:, :self.block] = parts
-        return np.fft.rfft(buf, axis=-1).astype(np.complex64)
+        return np.fft.rfft(buf, axis=1).astype(np.complex64)
 
-    def init_state(self):
+    def init_state(self, trailing: Tuple[int, ...] = ()):
         return {
-            "fdl": jnp.zeros((self.partitions, self.nbins),
+            "fdl": jnp.zeros((self.partitions, self.nbins) + trailing,
                              jnp.complex64),
-            "prev": jnp.zeros((self.block,), jnp.float32),
+            "prev": jnp.zeros((self.block,) + trailing, jnp.float32),
         }
 
     def process_block(self, state, h_spec, x
                       ) -> Tuple[dict, jnp.ndarray]:
         """One block: push x, return the exact convolution segment.
 
-        ``h_spec``: [P, nbins] complex; ``x``: [B].  Returns
-        (state', y [B])."""
-        window = jnp.concatenate([state["prev"], x], axis=0)
-        X = jnp.fft.rfft(window)
-        fdl = jnp.concatenate([X[None], state["fdl"][:-1]], axis=0)
-        Y = jnp.sum(h_spec * fdl, axis=0)
-        y = jnp.fft.irfft(Y, n=self.fft_size)[self.block:]
-        return {"fdl": fdl, "prev": x}, y.astype(jnp.float32)
+        ``h_spec``: [P, nbins, ...] complex; ``x``: [B, ...].  Returns
+        (state', y [B, ...])."""
+        state, fdl = self.spectral_mac(state, x)
+        return state, self.apply(fdl, h_spec)
 
     def spectral_mac(self, state, x):
         """Push x and return the updated fdl + window spectrum, letting
         callers MAC several IR sets against one input (crossfade)."""
         window = jnp.concatenate([state["prev"], x], axis=0)
-        X = jnp.fft.rfft(window)
+        X = jnp.fft.rfft(window, axis=0)
         fdl = jnp.concatenate([X[None], state["fdl"][:-1]], axis=0)
         return {"fdl": fdl, "prev": x}, fdl
 
     def apply(self, fdl, h_spec):
         Y = jnp.sum(h_spec * fdl, axis=0)
-        return jnp.fft.irfft(Y, n=self.fft_size)[self.block:] \
+        return jnp.fft.irfft(Y, n=self.fft_size, axis=0)[self.block:] \
             .astype(jnp.float32)

@@ -195,3 +195,72 @@ def test_signal_edge_into_asset_input_rejected():
     g.connect(gn.output, cv.ir)
     with pytest.raises(GraphError):
         g.lower()
+
+
+def test_convolver_long_ir_grows_capacity_no_truncation():
+    """Engines are sized from the published IR (reference
+    convolution/mod.rs:257-306): a 48,000-tap reverb IR published into a
+    small-capacity convolver must be used faithfully (pow2 capacity-class
+    growth), matching naive convolution — never silently truncated."""
+    ir = (_noise(48_000, seed=7)
+          * np.exp(-np.arange(48_000) / 8000.0)).astype(np.float32)
+    g = Graph("LongIR")
+    g.input("x", "stream")
+    g.output("out", "stream")
+    g.external("ir")
+    cv = Convolver(max_ir_len=1024)   # deliberately too small
+    c = g.add("conv", cv)
+    g.connect("ir", c.ir)
+    g.connect("x", c.input)
+    g.connect(c.output, "out")
+    comp = g.compile(48000.0, block_size=512, mode="block")
+    comp.publish_asset("ir", AudioAsset.from_samples(ir, 48000))
+    # flush the 20 ms crossfade (old IR is all-zero, new fades in)
+    fade = int(0.02 * 48000) + 512
+    comp.render_mono(fade)
+    x = _noise(4096, seed=8)
+    out = comp.render_mono(4096, stream_inputs={"x": x})
+    # reference: convolution of x with the FULL ir (the engine has only
+    # seen silence before x, so history is clean)
+    ref = np.convolve(x, ir)[:4096]
+    err = np.sqrt(np.mean((out - ref) ** 2)) / max(np.sqrt(
+        np.mean(ref ** 2)), 1e-12)
+    assert err < 1e-5, err
+    # truncation to the original 1024-cap would be wildly off
+    ref_trunc = np.convolve(x, ir[:1024])[:4096]
+    err_trunc = np.sqrt(np.mean((ref_trunc - ref) ** 2)) / np.sqrt(
+        np.mean(ref ** 2))
+    assert err_trunc > 1e-2  # sanity: the tail matters in this signal
+
+
+def test_convolver_steady_state_matches_single_engine():
+    """After the crossfade finishes the old-IR branch is skipped
+    (lax.cond): output must exactly equal a fresh convolver constructed
+    with the same IR (no stale-engine residue)."""
+    ir = _noise(200, seed=9)
+    c1 = conv_graph(ir=None, max_ir=256, mode="block")
+    c1.publish_asset("ir", AudioAsset.from_samples(ir, 48000))
+    c1.render_mono(2048)  # flush fade (+ fill history with silence)
+    x = _noise(512, seed=10)
+    a = c1.render_mono(512, stream_inputs={"x": x})
+    ref = np.convolve(x, ir)[:512]
+    np.testing.assert_allclose(a, ref, atol=2e-4)
+
+
+def test_convolver_swap_within_capacity_does_not_retrace():
+    """In-capacity swaps keep every state shape: the block fn must not
+    retrace (functional hot-swap, the reference's allocation-free path)."""
+    import jax
+    ir = _noise(100, seed=11)
+    c = conv_graph(ir=ir, max_ir=128, mode="block")
+    c.render_mono(256)
+    before_struct = jax.tree_util.tree_structure(c.state)
+    before_shapes = [np.asarray(v).shape
+                     for v in jax.tree_util.tree_leaves(c.state)]
+    c.publish_asset("ir", AudioAsset.from_samples(
+        _noise(120, seed=12), 48000))
+    assert jax.tree_util.tree_structure(c.state) == before_struct
+    after_shapes = [np.asarray(v).shape
+                    for v in jax.tree_util.tree_leaves(c.state)]
+    assert before_shapes == after_shapes
+    c.render_mono(256)
