@@ -44,6 +44,9 @@ def main():
         g = build_fm_synth(NUM_VOICES)
     elif model == "poly_synth":
         g = build_poly_synth(NUM_VOICES)
+    elif model == "pivot":
+        from oscen_tpu.models.pivot import build_pivot
+        g = build_pivot(NUM_VOICES)
     else:
         raise SystemExit(f"unknown --model={model} (electric_piano, "
                          f"poly_synth, fm_synth)")

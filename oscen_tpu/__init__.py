@@ -21,7 +21,7 @@ from .graph.builder import Frame, Graph, GraphError, call
 from .graph.dsl import parse_graph
 from .graph.node import HostNode, Node
 from .nodes.basic import (AddValue, AudioInput, Crossfade, FmOperator, Gain,
-                          HardClip, Mixer, Tremolo, Value)
+                          HardClip, Mixer, Tremolo, Value, Vca)
 from .assets import AssetError, AudioAsset
 from .nodes.convolver import Convolver
 from .nodes.delay import Delay
@@ -46,6 +46,6 @@ __all__ = [
     "NoteOffEvent", "NoteOnEvent", "Oscillator", "Oscilloscope",
     "ParamSpec",
     "PolyBlepOscillator", "Policy", "RawMidiMessage", "SampleRate",
-    "Tremolo", "Value", "ValueRampState", "VoiceAllocator", "call",
+    "Tremolo", "Value", "ValueRampState", "Vca", "VoiceAllocator", "call",
     "midi_note_to_freq", "parse_graph", "raw_midi_event", "scalar_event",
 ]

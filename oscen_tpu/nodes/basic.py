@@ -48,6 +48,18 @@ class Gain(_StatelessNode):
         return state, {"output": ins["input"] * ins["gain"]}
 
 
+class Vca(_StatelessNode):
+    """Voltage-controlled amplifier: ``out = in * control`` (stream ×
+    stream), used to apply envelope modulation to audio signals
+    (reference examples/pivot/src/vca.rs:31-36)."""
+
+    INPUTS = (stream("input", 0.0), stream("control", 1.0))
+    OUTPUTS = (stream("output"),)
+
+    def tick(self, state, ins, sr):
+        return state, {"output": ins["input"] * ins["control"]}
+
+
 class Value(_StatelessNode):
     """Pass-through parameter holder (reference value.rs)."""
 
