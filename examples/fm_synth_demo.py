@@ -14,6 +14,10 @@ import sys
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 from oscen_tpu import AudioAsset, raw_midi_event
 from oscen_tpu.models.fm_synth import build_fm_synth
 

@@ -14,6 +14,10 @@ import sys
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 from oscen_tpu import AudioAsset, Graph, HardClip, PolyBlepOscillator
 
 SR = 44_100.0  # not a multiple of the osc pitch: aliases land off-comb

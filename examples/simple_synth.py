@@ -13,6 +13,10 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 from oscen_tpu import AudioAsset
 from oscen_tpu.models.simple import build_simple_synth
 

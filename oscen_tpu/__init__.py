@@ -33,6 +33,7 @@ from .nodes.oscillators import Oscillator, PolyBlepOscillator
 from .nodes.oscilloscope import Oscilloscope
 from .nodes.sample_player import SamplePlayer
 from .nodes.voice_allocator import VoiceAllocator
+from .utils.params import FloatParam, NihParams, nih_params
 
 __version__ = "0.1.0"
 
@@ -40,7 +41,8 @@ __all__ = [
     "AddValue", "AdsrEnvelope", "AudioInput", "Crossfade", "Delay",
     "DEFAULT_MAX_BLOCK_SIZE", "EventBuffer", "EventInstance", "EventQueue",
     "AssetError", "AudioAsset", "Convolver", "SamplePlayer",
-    "EventPassthrough", "FmOperator", "Frame", "Gain", "Graph",
+    "EventPassthrough", "FloatParam", "FmOperator", "Frame", "Gain",
+    "Graph", "NihParams", "nih_params",
     "GraphError", "HardClip", "HostNode", "IirLowpass", "Kind",
     "LP18Filter", "MidiParser", "MidiVoiceHandler", "Mixer", "Node",
     "NoteOffEvent", "NoteOnEvent", "Oscillator", "Oscilloscope",

@@ -250,3 +250,73 @@ def test_checkpoint_restores_host_domain_state(tmp_path):
     a2 = c1.render_mono(512)
     b2 = c2.render_mono(512)
     np.testing.assert_array_equal(a2, b2)
+
+
+def test_nih_params_generation_and_sync():
+    """nih_params parity (codegen/mod.rs:981-1152): skewed range from
+    `center` (normalized 0.5 lands on center), title-cased display names,
+    step quantization, unit, smoother-vs-ramp application in sync_to."""
+    from oscen_tpu import Graph, Gain, Oscillator, nih_params
+
+    g = Graph("Echoish")
+    g.input("delay_time", "value", default=0.25,
+            spec=ParamSpec(min=0.01, max=1.0, smoother_ms=50.0, unit="s"))
+    g.input("filter_cutoff", "value", default=4000.0,
+            spec=ParamSpec(min=100.0, max=10000.0, center=1000.0,
+                           unit="Hz"))
+    g.input("mix", "value", default=0.5,
+            spec=ParamSpec(min=0.0, max=1.0, ramp_frames=64))
+    g.input("semitones", "value", default=0.0,
+            spec=ParamSpec(min=-12.0, max=12.0, step=1.0))
+    g.input("plain", "value", default=0.3)
+    g.output("out", "stream")
+    o = g.add("o", Oscillator.sine(220.0, 0.5))
+    amp = g.add("amp", Gain(1.0))
+    g.connect(o.output, amp.input)
+    g.connect("mix", amp.gain)
+    g.connect(amp.output, "out")
+
+    p = nih_params(g)
+    assert set(p.names()) == {"delay_time", "filter_cutoff", "mix",
+                              "semitones", "plain"}
+    # display name: snake_case -> Title Case (codegen/mod.rs:1008-1023)
+    assert p.filter_cutoff.display_name == "Filter Cutoff"
+    # skew: normalized 0.5 == center exactly (:1032-1046)
+    assert abs(p.filter_cutoff.unnormalize(0.5) - 1000.0) < 1e-3
+    assert abs(p.filter_cutoff.normalize(1000.0) - 0.5) < 1e-6
+    # round trip
+    for v in (100.0, 350.0, 4000.0, 10000.0):
+        assert abs(p.filter_cutoff.unnormalize(
+            p.filter_cutoff.normalize(v)) - v) < 1e-2
+    # plain param defaults to Linear 0..1
+    assert p.plain.min == 0.0 and p.plain.max == 1.0
+    # step quantization (:1099-1105)
+    p.semitones.set_value(3.4)
+    assert p.semitones.value() == 3.0
+    p.semitones.set_normalized(0.5)
+    assert p.semitones.value() == 0.0
+    assert p.delay_time.unit == "s"
+
+    c = g.compile(48000.0, block_size=64)
+    # sync_to: ramped input ramps over its declared frames; smoothed input
+    # ramps over smoother_ms; plain input applies immediately (:1112-1127)
+    p.mix.set_value(1.0)
+    p.plain.set_value(0.9)
+    p.delay_time.set_value(0.75)
+    p.sync_to(c)
+    assert c._params["plain"].frames_remaining == 0
+    assert float(c._params["plain"].current) == np.float32(0.9)
+    assert c._params["mix"].frames_remaining == 64
+    assert c._params["delay_time"].frames_remaining == 2400  # 50 ms @48k
+    out = c.render_mono(128)
+    assert np.isfinite(out).all()
+
+
+def test_nih_params_center_validation():
+    from oscen_tpu import FloatParam
+    with pytest.raises(ValueError):
+        FloatParam("bad", 1.0, ParamSpec(min=0.0, max=1.0, center=1.0))
+    # log flag without center: geometric midpoint at normalized 0.5
+    p = FloatParam("f", 1000.0, ParamSpec(min=20.0, max=20000.0, log=True))
+    import math
+    assert abs(p.unnormalize(0.5) - math.sqrt(20.0 * 20000.0)) < 1.0
