@@ -122,6 +122,45 @@ def make_block_fn(prog, block_len: int):
 
     islands = [c for c in comps if len(c) > 1]
 
+    # FanIn fusion: node-array outputs whose ONLY consumers are bare
+    # full-instance fan-in sums (and which feed no island, feedback
+    # snapshot, or graph output expression) may be pre-reduced inside the
+    # producing node's batched kernel — the voice mixdown never leaves
+    # VMEM.  The node advertises support by accepting a ``fanin_eps``
+    # kwarg in process_block_batched and returning ``__fanin__<ep>``.
+    import os as _os
+    _fusion_on = _os.environ.get("OSCEN_FANIN_FUSION", "1") != "0"
+    island_nodes = {n for c in comps if is_island(c) for n in c}
+    _consumers: Dict[Tuple[str, str], List[IrEdge]] = {}
+    for e in ir.edges:
+        for r in e.source.endpoints():
+            if r.node:
+                _consumers.setdefault((r.node, r.endpoint), []).append(e)
+    _out_refs = {(r.node, r.endpoint)
+                 for expr in ir.output_edges.values()
+                 for r in expr.endpoints() if r.node}
+    _fb_refs = set(prog.fb_keys)
+    fanin_only: Dict[str, frozenset] = {}
+    for _name in prog.device_nodes:
+        _inst = ir.nodes[_name]
+        if _inst.count <= 1:
+            continue
+        _eps = set()
+        for _ep in _inst.node.OUTPUTS:
+            key = (_name, _ep.name)
+            _edges = _consumers.get(key, [])
+            if _edges and key not in _out_refs and key not in _fb_refs \
+                    and all(isinstance(e.source, EndpointRef)
+                            and e.fanout == Fanout.FAN_IN
+                            and e.dst_index is None
+                            and e.kernel == EdgeKernel.NONE
+                            and not e.is_feedback
+                            and e.dst_node not in island_nodes
+                            for e in _edges):
+                _eps.add(_ep.name)
+        if _eps and _fusion_on:
+            fanin_only[_name] = frozenset(_eps)
+
     def node_count(name: str) -> int:
         return ir.nodes[name].count
 
@@ -181,9 +220,17 @@ def make_block_fn(prog, block_len: int):
             """Evaluate one edge and normalize it for its destination
             (FAN_IN summing + parallel truncation + broadcast + cross-rate
             resampling with carried kernel state)."""
-            v = prog.eval_expr(e.source, resolve(e))
-            if e.fanout == Fanout.FAN_IN and e.dst_index is None:
-                v = jnp.sum(v, axis=0)  # instance axis leads by convention
+            pre = None
+            if e.fanout == Fanout.FAN_IN and e.dst_index is None \
+                    and isinstance(e.source, EndpointRef):
+                pre = env.get((e.source.node,
+                               "__fanin__" + e.source.endpoint))
+            if pre is not None:
+                v = pre  # mixdown already fused into the producer kernel
+            else:
+                v = prog.eval_expr(e.source, resolve(e))
+                if e.fanout == Fanout.FAN_IN and e.dst_index is None:
+                    v = jnp.sum(v, axis=0)  # instance axis leads
             count = 1 if indexed else inst.count
             payload = _payload_shape(ep)
             src_rate = inst.rate if e.kernel == EdgeKernel.NONE else (
@@ -254,8 +301,15 @@ def make_block_fn(prog, block_len: int):
                         node, "process_block_batched"):
                     # voice-batched fast path (e.g. one Pallas kernel
                     # across all instances) — None falls back to vmap
-                    batched = node.process_block_batched(
-                        st, ins, evs, sr, Bn)
+                    import inspect as _inspect
+                    sig = _inspect.signature(node.process_block_batched)
+                    if "fanin_eps" in sig.parameters:
+                        batched = node.process_block_batched(
+                            st, ins, evs, sr, Bn,
+                            fanin_eps=fanin_only.get(name, frozenset()))
+                    else:
+                        batched = node.process_block_batched(
+                            st, ins, evs, sr, Bn)
                 if batched is not None:
                     st, outs = batched
                 elif inst.count > 1:

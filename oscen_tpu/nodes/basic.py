@@ -15,11 +15,11 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from ..core.types import SampleRate, stream, value
 from ..graph.node import Node
-from ..ops.scan import exact_wrapped_phase
 
 TAU = 2.0 * math.pi
 
@@ -132,13 +132,27 @@ class AddValue(_StatelessNode):
 
 class Tremolo(Node):
     """Mono→stereo constant-power pan LFO (reference
-    examples/electric-piano/src/tremolo.rs:8-60)."""
+    examples/electric-piano/src/tremolo.rs:8-60).
+
+    The LFO phase uses an *anchored* representation — ``phase(t) =
+    wrap(anchor + dt·k)`` with the integer tick count ``k`` carried and
+    the anchor rebased only when the rate changes (or at a fixed absolute
+    K_REBASE to keep ``dt·k`` exact in f32).  The block path evaluates the
+    same formula vectorized, so block mode is bit-identical to the
+    per-sample tick AND block-size invariant, with no sequential scan in
+    the common (rate-constant) case — this node sits on the flagship's
+    single-lane mixdown path where a sequential kernel costs ~10 µs/block.
+    """
 
     INPUTS = (stream("input", 0.0), value("rate", 5.0), value("depth", 0.5))
     OUTPUTS = (stream("output", channels=2),)
 
+    K_REBASE = 1 << 20  # dt·k stays exact well below 2^24
+
     def init_state(self, sr: SampleRate):
-        return {"phase": jnp.float32(0.0)}
+        return {"anchor": jnp.float32(0.0),
+                "k": jnp.int32(0),
+                "dt_last": jnp.float32(0.0)}
 
     @staticmethod
     def _pan(x, phase, depth):
@@ -146,17 +160,75 @@ class Tremolo(Node):
         pan = 0.5 + lfo * (depth / 3.0)
         return jnp.stack([x * pan, x * (1.0 - pan)], axis=-1)
 
+    @staticmethod
+    def _wrap(p):
+        return p - jnp.floor(p)
+
     def tick(self, state, ins, sr):
-        out = self._pan(ins["input"], state["phase"], ins["depth"])
-        phase = state["phase"] + ins["rate"] / sr.hz
-        phase = phase - jnp.trunc(phase)  # Rust .fract()
-        return {"phase": phase}, {"output": out}
+        dt = ins["rate"] / sr.hz
+        anchor, k = state["anchor"], state["k"]
+        changed = jnp.logical_and(dt != state["dt_last"], k > 0)
+        anchor = jnp.where(changed,
+                           self._wrap(anchor + state["dt_last"]
+                                      * k.astype(jnp.float32)), anchor)
+        k = jnp.where(changed, 0, k)
+        phase = self._wrap(anchor + dt * k.astype(jnp.float32))
+        out = self._pan(ins["input"], phase, ins["depth"])
+        k = k + 1
+        rebase = k >= self.K_REBASE
+        anchor = jnp.where(rebase,
+                           self._wrap(anchor + dt * float(self.K_REBASE)),
+                           anchor)
+        k = jnp.where(rebase, k - self.K_REBASE, k)
+        return ({"anchor": anchor, "k": k, "dt_last": dt},
+                {"output": out})
 
     def process_block(self, state, ins, events, sr, block_len):
-        dt = ins["rate"] / sr.hz
-        before, carry = exact_wrapped_phase(state["phase"], dt)
-        out = self._pan(ins["input"], before, ins["depth"])
-        return {"phase": carry}, {"output": out}
+        B = block_len
+        dt = ins["rate"] / sr.hz  # [B]
+        K = float(self.K_REBASE)
+        same = jnp.all(dt == state["dt_last"])
+
+        def fast(_):
+            dt0 = dt[0]
+            anchor, k0 = state["anchor"], state["k"]
+            ks = k0.astype(jnp.float32) + jnp.arange(B, dtype=jnp.float32)
+            a2 = self._wrap(anchor + dt0 * K)
+            phase = jnp.where(ks < K,
+                              self._wrap(anchor + dt0 * ks),
+                              self._wrap(a2 + dt0 * (ks - K)))
+            k_end = k0 + B
+            reb = k_end >= self.K_REBASE
+            return (phase,
+                    jnp.where(reb, a2, anchor),
+                    jnp.where(reb, k_end - self.K_REBASE, k_end),
+                    dt[-1])
+
+        def slow(_):
+            def step(carry, dt_t):
+                anchor, k, dt_last = carry
+                changed = jnp.logical_and(dt_t != dt_last, k > 0)
+                anchor = jnp.where(
+                    changed,
+                    self._wrap(anchor + dt_last * k.astype(jnp.float32)),
+                    anchor)
+                k = jnp.where(changed, 0, k)
+                phase = self._wrap(anchor + dt_t * k.astype(jnp.float32))
+                k = k + 1
+                rebase = k >= self.K_REBASE
+                anchor = jnp.where(rebase, self._wrap(anchor + dt_t * K),
+                                   anchor)
+                k = jnp.where(rebase, k - self.K_REBASE, k)
+                return (anchor, k, dt_t), phase
+            (anchor, k, dt_last), phase = jax.lax.scan(
+                step, (state["anchor"], state["k"], state["dt_last"]), dt)
+            return phase, anchor, k, dt_last
+
+        phase, anchor, k, dt_last = jax.lax.cond(same, fast, slow,
+                                                 operand=None)
+        out = self._pan(ins["input"], phase, ins["depth"])
+        return ({"anchor": anchor, "k": k, "dt_last": dt_last},
+                {"output": out})
 
 
 class FmOperator(Node):

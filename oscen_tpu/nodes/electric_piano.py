@@ -439,11 +439,17 @@ class ElectricPianoVoice(Node):
         return ({"amp": amp_st, "bank": bank_st},
                 {"output": out["output"]})
 
-    def process_block_batched(self, state, ins, events, sr, block_len):
-        """All voices through ONE fused Pallas kernel (TPU, no events)."""
+    def process_block_batched(self, state, ins, events, sr, block_len,
+                              fanin_eps=frozenset()):
+        """All voices through ONE fused Pallas kernel (TPU, no events).
+
+        When the compiler marks ``output`` as fan-in-only (its sole
+        consumers sum over all voices), the mixdown is fused into the
+        kernel and only the summed audio leaves VMEM."""
         from ..ops.pallas.additive import _UNROLL, additive_voice_block
         if jax.default_backend() != "tpu" or block_len % _UNROLL:
             return None
+        with_mix = "output" in fanin_eps
 
         bank = state["bank"]
         amp = state["amp"]
@@ -464,7 +470,7 @@ class ElectricPianoVoice(Node):
         y, or_o, oi_o, cur_o, tgt_o, step_o = additive_voice_block(
             ore.T, oim.T, mre.T, mim.T,
             amp["current"].T, amp["target"].T, mult.T,
-            amp["step"], block_len)
+            amp["step"], block_len, with_mix=with_mix)
         new_state = {
             "bank": {**bank, "osc_re": or_o.T, "osc_im": oi_o.T,
                      "mul_re": mre, "mul_im": mim,
@@ -472,4 +478,6 @@ class ElectricPianoVoice(Node):
             "amp": {**amp, "current": cur_o.T, "target": tgt_o.T,
                     "step": step_o.astype(jnp.int32)},
         }
+        if with_mix:
+            return new_state, {"__fanin__output": y}  # [B], pre-summed
         return new_state, {"output": y.T}

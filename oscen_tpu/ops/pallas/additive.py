@@ -1,18 +1,39 @@
 """Fused Pallas kernel for the electric-piano additive voice.
 
 Runs the reference voice algorithm (AmplitudeSource →
-OscillatorBank, electric_piano_voice.rs) sample by sample *inside one
-kernel*, all voices in VPU lanes and all 32 harmonics in sublanes: per
-step, the per-harmonic envelope interpolation, the complex rotation, and
-the harmonic reduction — with no [V, B, H] intermediates ever touching
-HBM, and the exact per-sample op order of the reference.
+OscillatorBank, electric_piano_voice.rs) *inside one kernel*, all voices
+in VPU lanes and all 32 harmonics in sublanes, with no [V, B, H]
+intermediates ever touching HBM.
 
 Steady-state only (no gate events, constant frequency within the block) —
 the compiler falls back to the segmented closed forms for event blocks.
 
-Layout: state planes ``[H, V]`` (harmonics in sublanes, voices in lanes);
-the per-voice interpolation step counter is a ``[1, V]`` row broadcast
-over sublanes.  Output ``[B, V]``.
+The kernel evaluates the voice in closed form over *subgroups* of up to
+SUB=32 samples (v2 of this kernel; v1 replayed the exact per-sample op
+order and measured 26.5 µs per 1024-sample block at 256 voices — this
+form measures ~20.6 µs, at the VPU roofline):
+
+- **rotation**: within a subgroup, sample j's oscillator value comes from
+  the subgroup-entry state via precomputed ``m^(j+1)`` planes
+  (``im_j = re0·Im(m^{j+1}) + im0·Re(m^{j+1})``, 2 ops) instead of
+  iterating the 6-op complex multiply; the carry advances once per
+  subgroup by ``m^SUB``.  The ``m^j`` planes are built once per block.
+- **envelope**: the per-tick blend telescopes to
+  ``amp_k = target + (C0 - target)·P_k`` with ``P_k = Π(1 - i/64)``
+  (the same closed form the non-fused AmplitudeSource uses); ``P`` is
+  maintained as a per-voice row by its recurrence, and the at-most-one
+  cycle wrap per subgroup (SUB ≤ 65) switches ``(target, diff)`` planes
+  with row-masked selects.
+
+Numerics: bounded ~2.6e-4 relative output deviation from the exact
+per-sample iteration (anchored per block/cycle — deviations do NOT
+accumulate across blocks; measured 4.9e-4 max abs over a 1 s chained
+render at unit-scale output).  The reference's own per-sample f32
+rotation drifts comparably against exact math.
+
+Layout: state planes ``[H, V]`` (harmonics in sublanes, voices in
+lanes); the per-voice step counter is a ``[1, V]`` row.  Output
+``[B, V]``.
 """
 
 from __future__ import annotations
@@ -28,59 +49,110 @@ from .util import pick_unroll
 
 INTERP = 64.0
 
-
 _UNROLL = 8  # minimum block-length granularity for the fused kernel
 
 
-def _kernel(U, or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
-            step_ref, y_ref, or_o, oi_o, cur_o, tgt_o, step_o):
-    # U = unroll factor (bound via partial; adaptive up to 64)
+def _kernel(U, SUB, with_mix, or_ref, oi_ref, mr_ref, mi_ref, cur_ref,
+            tgt_ref, mult_ref, step_ref, y_ref, or_o, oi_o, cur_o, tgt_o,
+            step_o):
+    # U = fori unroll (samples per loop body); SUB = closed-form subgroup
+    # (rotation anchor + at-most-one envelope-cycle wrap; SUB <= 64).
     mr = mr_ref[:]
     mi = mi_ref[:]
     mult = mult_ref[:]
     B = y_ref.shape[0]
 
-    def sample(carry):
-        """One exact reference sample (electric_piano_voice.rs:308-338
-        envelope, :158-170 rotation); returns (carry', y_row)."""
-        osc_r, osc_i, cur, tgt, s = carry
-        tgt = jnp.where(s == 0.0, cur * mult, tgt)
-        interp = s < INTERP
-        tau = (s + 1.0) / INTERP
-        cur = jnp.where(interp, cur * (1.0 - tau) + tgt * tau, tgt)
-        s = jnp.where(interp, s + 1.0, 0.0)
-        nr = osc_r * mr - osc_i * mi
-        ni = osc_r * mi + osc_i * mr
-        y = jnp.sum(ni * cur, axis=0, keepdims=True) * 3.0
-        return (nr, ni, cur, tgt, s), y
+    # m^j planes, j = 1..SUB (built once per block; the *3 copies fold the
+    # reference's output gain into the rotation tables)
+    mjr = [mr]
+    mji = [mi]
+    for _ in range(SUB - 1):
+        pr, pi = mjr[-1], mji[-1]
+        mjr.append(pr * mr - pi * mi)
+        mji.append(pr * mi + pi * mr)
+    msr, msi = mjr[SUB - 1], mji[SUB - 1]
+    mji3 = [m * 3.0 for m in mji]
+    mjr3 = [m * 3.0 for m in mjr]
+
+    def subgroup(carry):
+        zr, zi, tgt, D, p, s = carry
+        tgt2 = tgt * mult   # next cycle's target, if a wrap occurs
+        D2 = tgt - tgt2
+        # row pre-pass: P recurrence + wrap masks for every tick
+        ps = []
+        ws = []
+        wrapped = jnp.zeros_like(s, dtype=jnp.bool_)
+        for _ in range(SUB):
+            wrap = s == 0.0
+            wrapped = jnp.logical_or(wrapped, wrap)
+            p = jnp.where(wrap, 63.0 / 64.0,
+                          p * (1.0 - (s + 1.0) / INTERP))
+            ps.append(p)
+            ws.append(wrapped)
+            s = jnp.where(s < INTERP, s + 1.0, 0.0)
+        rows = []
+        for j in range(SUB):
+            tgtE = jnp.where(ws[j], tgt2, tgt)
+            DE = jnp.where(ws[j], D2, D)
+            amp = tgtE + DE * ps[j]
+            im = zr * mji3[j] + zi * mjr3[j]
+            rows.append(jnp.sum(im * amp, axis=0, keepdims=True))
+            last_amp = amp
+        zr, zi = zr * msr - zi * msi, zr * msi + zi * msr
+        tgt = jnp.where(ws[-1], tgt2, tgt)
+        D = jnp.where(ws[-1], D2, D)
+        return (zr, zi, tgt, D, p, s), rows, last_amp
 
     def body(i, carry):
-        rows = []
-        for _ in range(U):
-            carry, y = sample(carry)
-            rows.append(y)
-        y_ref[pl.ds(i * U, U), :] = jnp.concatenate(rows, axis=0)
-        return carry
+        carry, cur_last = carry
+        all_rows = []
+        for _ in range(U // SUB):
+            carry, rows, cur_last = subgroup(carry)
+            all_rows.extend(rows)
+        Y = jnp.concatenate(all_rows, axis=0)
+        if with_mix:
+            # fan-in mixdown fused into the kernel: emit only the
+            # voice-summed audio (per tile; tiles summed outside) — skips
+            # the [B, V] HBM round-trip entirely
+            y_ref[pl.ds(i * U, U), :] = jnp.sum(Y, axis=1, keepdims=True)
+        else:
+            y_ref[pl.ds(i * U, U), :] = Y
+        return (carry, cur_last)
 
-    osc_r, osc_i, cur, tgt, s = jax.lax.fori_loop(
-        0, B // U, body,
-        (or_ref[:], oi_ref[:], cur_ref[:], tgt_ref[:], step_ref[:]))
-    or_o[:] = osc_r
-    oi_o[:] = osc_i
-    cur_o[:] = cur
+    zr0 = or_ref[:]
+    zi0 = oi_ref[:]
+    cur0 = cur_ref[:]
+    s0 = step_ref[:]
+    # entry anchor: a wrap at the very first tick takes its cycle base
+    # from CUR (reference: tgt = cur*mult at s==0 — mid-block wraps always
+    # follow a settle tick where amp == tgt, but the entry state may have
+    # cur != tgt, e.g. right after a gate event block)
+    tgt0 = jnp.where(s0 == 0.0, cur0, tgt_ref[:])
+    D0 = cur0 - tgt0
+    p0 = jnp.ones_like(s0)
+    (carry, cur_last) = jax.lax.fori_loop(
+        0, B // U, body, ((zr0, zi0, tgt0, D0, p0, s0), cur0))
+    zr, zi, tgt, D, p, s = carry
+    or_o[:] = zr
+    oi_o[:] = zi
+    cur_o[:] = cur_last
     tgt_o[:] = tgt
     step_o[:] = s
 
 
-@functools.partial(jax.jit, static_argnames=("block_len", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_len", "interpret", "with_mix"))
 def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
-                         step, block_len: int, interpret: bool = False):
+                         step, block_len: int, interpret: bool = False,
+                         with_mix: bool = False):
     """One steady-state block of the fused additive voice.
 
     Args (all ``[H, V]`` except ``step`` ``[V]``): oscillator complex
     state + rotation multipliers, envelope current/target/multiplier
     planes, per-voice interpolation step counter.
-    Returns (y ``[B, V]``, new osc_re, osc_im, cur, tgt, step).
+    Returns (y ``[B, V]``, new osc_re, osc_im, cur, tgt, step) — or, with
+    ``with_mix``, y is the voice-summed mix ``[B]`` (the graph's FanIn
+    edge fused into the kernel).
     """
     if block_len % _UNROLL:
         raise ValueError(
@@ -97,6 +169,9 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
                        ((0, 0), (0, padV)))
     Hp, Vp = H + padH, V + padV
 
+    U = pick_unroll(block_len)
+    SUB = min(U, 32)
+
     # grid over voice tiles: keeps VMEM bounded for large voice counts
     # (each tile's state/output is independent — voices don't interact)
     TILE = 256
@@ -111,18 +186,29 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
                             memory_space=pltpu.VMEM)
 
     plane = jax.ShapeDtypeStruct((Hp, Vp), jnp.float32)
+    if with_mix:
+        y_shape = jax.ShapeDtypeStruct((block_len, n_tiles), jnp.float32)
+        y_spec = pl.BlockSpec((block_len, 1), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    else:
+        y_shape = jax.ShapeDtypeStruct((block_len, Vp), jnp.float32)
+        y_spec = vspec(block_len)
     y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
-        functools.partial(_kernel, pick_unroll(block_len)),
+        functools.partial(_kernel, U, SUB, with_mix),
         grid=(n_tiles,),
         out_shape=(
-            jax.ShapeDtypeStruct((block_len, Vp), jnp.float32),
+            y_shape,
             plane, plane, plane, plane,
             jax.ShapeDtypeStruct((1, Vp), jnp.float32),
         ),
         in_specs=[vspec(Hp)] * 7 + [vspec(1)],
-        out_specs=(vspec(block_len),) + (vspec(Hp),) * 4 + (vspec(1),),
+        out_specs=(y_spec,) + (vspec(Hp),) * 4 + (vspec(1),),
         interpret=interpret,
     )(pad(osc_re), pad(osc_im), pad(mul_re), pad(mul_im), pad(cur),
       pad(tgt), pad(mult), step_row)
-    return (y[:, :V], or_o[:H, :V], oi_o[:H, :V], cur_o[:H, :V],
+    if with_mix:
+        y_out = jnp.sum(y, axis=1)  # [B] (partial tile sums)
+    else:
+        y_out = y[:, :V]
+    return (y_out, or_o[:H, :V], oi_o[:H, :V], cur_o[:H, :V],
             tgt_o[:H, :V], step_o[0, :V])
