@@ -55,8 +55,10 @@ class FmOperatorChain(Node):
         pv = state["prevs"]
         f = ins["base_freq"]
 
+        from ..ops.fastmath import sin_turns
+
         def op(phase, prev, pm, env, ratio, fb, lvl):
-            y = jnp.sin((phase + pm + prev * fb) * TAU) * env * lvl
+            y = sin_turns(phase + pm + prev * fb) * env * lvl
             phase = phase + f * ratio / sr.hz
             return phase - jnp.trunc(phase), y
 
@@ -213,26 +215,30 @@ def _build_fm_voice_fused() -> Graph:
     g.input("filter_env_amount", "value", default=0.0)
     g.output("audio_out", "stream")
 
-    env3 = g.add("env3", AdsrEnvelope(0.01, 0.1, 0.7, 0.3))
-    env2 = g.add("env2", AdsrEnvelope(0.01, 0.1, 0.7, 0.3))
-    env1 = g.add("env1", AdsrEnvelope(0.01, 0.2, 0.8, 0.5))
-    env_f = g.add("env_filter", AdsrEnvelope(0.01, 0.2, 0.5, 0.3))
+    # the four per-voice envelopes horizontally fused into one node
+    # (PERF.md: "horizontal fusion of the four per-voice envelope node
+    # arrays into one 4·V-lane evaluation")
+    from ..nodes.envelope import AdsrBank
+    envs = g.add("envs", AdsrBank([
+        ("op3", 0.01, 0.1, 0.7, 0.3),
+        ("op2", 0.01, 0.1, 0.7, 0.3),
+        ("op1", 0.01, 0.2, 0.8, 0.5),
+        ("filt", 0.01, 0.2, 0.5, 0.3),
+    ]))
     f_gain = g.add("filter_env_gain", Gain(0.0))
     cutoff_mod = g.add("cutoff_mod", AddValue(2000.0))
     chain = g.add("ops", FmOperatorChain())
     filt = g.add("filter", TptFilter(2000.0, 0.707))
     out_g = g.add("output_gain", Gain(0.3))
 
-    for env in (env3, env2, env1):
-        g.connect("gate", env.gate)
-    g.connect("gate", env_f.gate)
-    for env_name, op in (("env3", "op3"), ("env2", "op2"), ("env1", "op1")):
+    g.connect("gate", envs.gate)
+    for op in ("op3", "op2", "op1"):
         for k in ("attack", "decay", "sustain", "release"):
-            g.connect(f"{op}_{k}", f"{env_name}.{k}")
+            g.connect(f"{op}_{k}", f"envs.{op}_{k}")
     for k in ("attack", "decay", "sustain", "release"):
-        g.connect(f"filter_{k}", f"env_filter.{k}")
+        g.connect(f"filter_{k}", f"envs.filt_{k}")
 
-    g.connect(env_f.output, f_gain.input)
+    g.connect(envs.filt, f_gain.input)
     g.connect("filter_env_amount", f_gain.gain)
     g.connect(f_gain.output, cutoff_mod.input)
     g.connect("filter_cutoff", cutoff_mod.value)
@@ -245,9 +251,9 @@ def _build_fm_voice_fused() -> Graph:
         g.connect(f"op{i}_feedback", f"ops.op{i}_feedback")
     g.connect("op1_ratio", chain.op1_ratio)
     g.connect("route", chain.route)
-    g.connect(env3.output, chain.env3)
-    g.connect(env2.output, chain.env2)
-    g.connect(env1.output, chain.env1)
+    g.connect(envs.op3, chain.env3)
+    g.connect(envs.op2, chain.env2)
+    g.connect(envs.op1, chain.env1)
 
     g.connect(chain.output, filt.input)
     g.connect("filter_resonance", filt.q)

@@ -252,8 +252,9 @@ class FmOperator(Node):
         frequency = ins["base_freq"] * ins["ratio"]
         feedback_mod = state["prev_output"] * ins["feedback"]
         total_pm = ins["phase_mod"] + feedback_mod
-        phase_rad = (state["phase"] + total_pm) * TAU
-        out = jnp.sin(phase_rad) * ins["envelope"] * ins["level"]
+        from ..ops.fastmath import sin_turns
+        out = sin_turns(state["phase"] + total_pm) \
+            * ins["envelope"] * ins["level"]
         phase = state["phase"] + frequency / sr.hz
         phase = phase - jnp.trunc(phase)  # Rust .fract()
         return ({"phase": phase, "prev_output": out}, {"output": out})

@@ -414,6 +414,77 @@ class AdsrEnvelope(Node):
         return st, {"output": levels}
 
 
+class AdsrBank(Node):
+    """N ADSR envelopes fused into one node (horizontal fusion).
+
+    A synth voice typically runs several envelopes off the same gate
+    (the FM voice has four: op3/op2/op1/filter — fm_voice.rs:54-63).  As
+    separate node arrays each one evaluates its closed forms in its own
+    XLA fusion; stacking them into a single node with a leading envelope
+    axis evaluates all N at once — the PERF.md "horizontal fusion of the
+    four per-voice envelope node arrays" lever.
+
+    Semantics are exactly N independent :class:`AdsrEnvelope`s (the
+    implementation vmaps the single-envelope code over the stacked axis),
+    sharing one gate input; each section has its own attack/decay/
+    sustain/release inputs named ``<section>_<param>`` and its own stream
+    output named ``<section>``.
+    """
+
+    def __init__(self, sections):
+        """``sections``: iterable of (name, attack, decay, sustain,
+        release)."""
+        sections = list(sections)
+        if not sections:
+            raise ValueError("AdsrBank needs at least one section")
+        self._names = [s[0] for s in sections]
+        if len(set(self._names)) != len(self._names):
+            raise ValueError("duplicate section names")
+        self._subs = [AdsrEnvelope(a, d, s_, r)
+                      for (_, a, d, s_, r) in sections]
+        ins = [event("gate")]
+        for (name, a, d, s_, r) in sections:
+            ins += [value(f"{name}_attack", float(a)),
+                    value(f"{name}_decay", float(d)),
+                    value(f"{name}_sustain", float(s_)),
+                    value(f"{name}_release", float(r))]
+        self.INPUTS = tuple(ins)
+        self.OUTPUTS = tuple(stream(n) for n in self._names)
+
+    def init_state(self, sr: SampleRate):
+        import jax
+        states = [sub.init_state(sr) for sub in self._subs]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    def _stack_ins(self, ins):
+        return {p: jnp.stack([ins[f"{n}_{p}"] for n in self._names])
+                for p in ("attack", "decay", "sustain", "release")}
+
+    def on_gate(self, state, velocity, sr, ins):
+        import jax
+        sub = self._subs[0]
+        return jax.vmap(lambda st, i: AdsrEnvelope.on_gate(
+            sub, st, velocity, sr, i))(state, self._stack_ins(ins))
+
+    def tick(self, state, ins, sr):
+        import jax
+        sub = self._subs[0]
+        st, outs = jax.vmap(lambda s_, i: AdsrEnvelope.tick(sub, s_, i, sr)
+                            )(state, self._stack_ins(ins))
+        lv = outs["output"]
+        return st, {n: lv[i] for i, n in enumerate(self._names)}
+
+    def process_block(self, state, ins, events, sr, block_len):
+        import jax
+        sub = self._subs[0]
+        st, outs = jax.vmap(
+            lambda s_, i: AdsrEnvelope.process_block(
+                sub, s_, i, events, sr, block_len)
+        )(state, self._stack_ins(ins))
+        lv = outs["output"]
+        return st, {n: lv[i] for i, n in enumerate(self._names)}
+
+
 def _sel(pred, a, b):
     import jax
     def s(x, y):

@@ -18,6 +18,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .util import pick_unroll
+from ..fastmath import sin_turns
 
 TAU = 2.0 * math.pi
 
@@ -33,7 +34,7 @@ def _kernel(B, U, phase0_ref, prev0_ref, dt_ref, pm_ref, fb_ref, env_ref,
         # exact reference op order (fm_operator.rs:57-77)
         fbm = prev * fb_ref[pl.ds(t, 1), :]
         total_pm = pm_ref[pl.ds(t, 1), :] + fbm
-        y = jnp.sin((phase + total_pm) * TAU) \
+        y = sin_turns(phase + total_pm) \
             * env_ref[pl.ds(t, 1), :] * lvl_ref[pl.ds(t, 1), :]
         phase = phase + dt_ref[pl.ds(t, 1), :]
         return (phase - jnp.trunc(phase), y), y  # Rust .fract()
@@ -68,7 +69,7 @@ def _chain3_kernel(B, U, ph_ref, prev_ref, dt_ref, lvl_ref, fb_ref,
     mix = mix_ref[:]    # [1, V] (route, pre-clamped)
 
     def op(t, ph, prev, pm, env, i):
-        y = jnp.sin((ph + pm + prev * fb[i:i + 1, :]) * TAU) \
+        y = sin_turns(ph + pm + prev * fb[i:i + 1, :]) \
             * env * lvl[i:i + 1, :]
         ph = ph + dt_ref[i, pl.ds(t, 1), :]
         return ph - jnp.trunc(ph), y
@@ -137,7 +138,7 @@ def _chain3_pipe_kernel(B, U, ph_ref, prev_ref, dt3_ref, dt2_ref, dt1_ref,
                               dt1_ref[pl.ds(i, 1), :]], axis=0)
         rot = jnp.concatenate([prev[2:3, :], prev[0:2, :]], axis=0)
         pm = rot * w1 + y3_d2 * w2
-        y = jnp.sin((ph + pm + prev * fb) * TAU) * env * lvl
+        y = sin_turns(ph + pm + prev * fb) * env * lvl
         active = jnp.logical_and(i >= rowid, i < B + rowid)
         nph = ph + dt
         ph = jnp.where(active, nph - jnp.trunc(nph), ph)
