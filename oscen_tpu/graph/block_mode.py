@@ -84,11 +84,37 @@ def _sccs(nodes: List[str], deps: Dict[str, set]) -> List[List[str]]:
     return out
 
 
-def make_block_fn(prog, block_len: int):
+def make_block_fn(prog, block_len: int, shard=None):
     """Build the block-mode traced function
-    ``(state, per_block, ev_bufs) -> (state, out_blocks)``."""
+    ``(state, per_block, ev_bufs) -> (state, out_blocks)``.
+
+    ``shard=(axis_name, n_shards)`` builds the *per-device* body for
+    ``shard_map`` execution over a voice mesh: every node array's
+    instance axis is its local shard (``count // n_shards``), fan-in
+    sums over the instance axis finish with an explicit
+    ``jax.lax.psum`` over the mesh axis (the reference's FanIn edge,
+    emit_edge.rs:67-84, as an ICI collective), and graph-output
+    instance-axis reductions likewise.  Host-staged per-voice value
+    arrays arrive pre-sliced by shard_map's in_specs.
+    """
     ir = prog.ir
     B = block_len
+    shard_axis, n_shards = shard if shard is not None else (None, 1)
+
+    def eff(count: int) -> int:
+        """Local (per-device) instance count for a node array."""
+        if shard_axis is not None and count > 1:
+            if count % n_shards:
+                raise ValueError(
+                    f"voice count {count} not divisible by the "
+                    f"{n_shards}-device mesh")
+            return count // n_shards
+        return count
+
+    def _psum(v):
+        if shard_axis is not None:
+            return jax.lax.psum(v, shard_axis)
+        return v
 
     # dependency graph over device nodes (normal + feedback edges)
     deps: Dict[str, set] = {n: set() for n in prog.device_nodes}
@@ -198,12 +224,15 @@ def make_block_fn(prog, block_len: int):
             return ep.shape if ep.shape else (
                 () if ep.channels == 1 else (ep.channels,))
 
-        def _normalize(v, count, B, payload):
+        def _normalize(v, count, B, payload, is_array=None):
             """Normalize an evaluated edge value to the destination's
             block shape ((C,)? , B, *payload).  Missing axes are resolved
             by payload tail-matching: payload dims align at the end,
-            time/instance axes are prepended."""
-            target = ((count,) if count > 1 else ()) + (B,) + payload
+            time/instance axes are prepended.  ``is_array`` forces the
+            instance axis even when the (sharded-local) count is 1."""
+            if is_array is None:
+                is_array = count > 1
+            target = ((count,) if is_array else ()) + (B,) + payload
             v = jnp.asarray(v)
             while v.ndim < len(target):
                 tail = target[len(target) - v.ndim:] if v.ndim else ()
@@ -226,30 +255,35 @@ def make_block_fn(prog, block_len: int):
                 pre = env.get((e.source.node,
                                "__fanin__" + e.source.endpoint))
             if pre is not None:
-                v = pre  # mixdown already fused into the producer kernel
+                v = _psum(pre)  # mixdown fused into the producer kernel
             else:
                 v = prog.eval_expr(e.source, resolve(e))
                 if e.fanout == Fanout.FAN_IN and e.dst_index is None:
-                    v = jnp.sum(v, axis=0)  # instance axis leads
-            count = 1 if indexed else inst.count
+                    v = jnp.sum(v, axis=0)  # (local) instance axis leads
+                    if any(ir.nodes[r.node].count > 1
+                           for r in e.source.endpoints()
+                           if r.node in ir.nodes):
+                        v = _psum(v)
+            is_array = not indexed and inst.count > 1
+            count = 1 if indexed else eff(inst.count)
             payload = _payload_shape(ep)
             src_rate = inst.rate if e.kernel == EdgeKernel.NONE else (
                 1 if e.kernel == EdgeKernel.UP else e.rate_factor)
             Bsrc = B * src_rate
-            if count > 1 and e.fanout == Fanout.PARALLEL \
+            if is_array and e.fanout == Fanout.PARALLEL \
                     and jnp.ndim(v) >= 1 \
                     and v.shape[0] not in (count, Bsrc):
                 v = v[:count]
-            v = _normalize(v, count, Bsrc, payload)
+            v = _normalize(v, count, Bsrc, payload, is_array)
             if e.kernel in (EdgeKernel.UP, EdgeKernel.DOWN):
                 idx = prog.edge_ids[id(e)]
                 kern = prog.resamplers[idx]
-                if count > 1:
+                if is_array:
                     v = jnp.moveaxis(v, 0, -1)  # [Bsrc, *payload, C]
                 st, v = kern.process_block(
                     new_state["__rs__"][str(idx)], v)
                 new_state["__rs__"][str(idx)] = st
-                if count > 1:
+                if is_array:
                     v = jnp.moveaxis(v, -1, 0)
             return v
 
@@ -278,7 +312,7 @@ def make_block_fn(prog, block_len: int):
             return ins
 
         def _default_block(inst, ep, B):
-            full = ((inst.count,) if inst.count > 1 else ()) \
+            full = ((eff(inst.count),) if inst.count > 1 else ()) \
                 + (B * inst.rate,) + _payload_shape(ep)
             return jnp.full(full, float(ep.default or 0.0), jnp.float32)
 
@@ -329,6 +363,11 @@ def make_block_fn(prog, block_len: int):
                 # ---- scan island: per-sample over the component -------
                 island = comp
                 island_set = set(island)
+                if shard_axis is not None and any(
+                        ir.nodes[n].count > 1 for n in island):
+                    raise NotImplementedError(
+                        "voice-sharded execution does not support node "
+                        "arrays inside feedback scan islands")
                 if any(ir.nodes[n].rate != 1 for n in island):
                     raise NotImplementedError(
                         "oversampled nodes inside feedback islands are "
@@ -510,8 +549,14 @@ def make_block_fn(prog, block_len: int):
                 continue
             v = prog.eval_expr(expr, resolve_block(None))
             want = 1 if o.channels == 1 else 2
+            reduced = False
             while jnp.ndim(v) > want:
                 v = jnp.sum(v, axis=0)
+                reduced = True
+            if reduced and any(ir.nodes[r.node].count > 1
+                               for r in expr.endpoints()
+                               if r.node in ir.nodes):
+                v = _psum(v)  # instance-axis reduction spans the mesh
             outs[o.name] = v
         return new_state, outs
 

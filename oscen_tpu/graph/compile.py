@@ -813,14 +813,112 @@ class CompiledGraph:
             state, outs = jax.lax.scan(body, state, (ts, per_block))
             return state, outs
 
+        shard = getattr(self, "_shard", None)
         if self.mode == "block":
             from .block_mode import make_block_fn
-            block_fn = make_block_fn(prog, block_len)
+            if shard is not None:
+                mesh, axis = shard
+                inner = make_block_fn(prog, block_len,
+                                      shard=(axis, mesh.devices.size))
+                block_fn = self._wrap_shard_map(inner, mesh, axis)
+            else:
+                block_fn = make_block_fn(prog, block_len)
 
         if self._jit:
             block_fn = jax.jit(block_fn)
         self._block_fn_cache[key] = block_fn
         return block_fn
+
+    # ------------------------------------------------------------------ #
+    def enable_sharding(self, mesh, axis_name: str = "voices") -> None:
+        """Switch block-mode execution to SPMD over ``mesh``: the block
+        function runs under ``shard_map`` with every node array's voice
+        axis sharded, fan-in mix-downs as explicit psums over ICI, and
+        host-staged per-voice arrays/event buffers sliced per device
+        (SURVEY §5.8's scale-out design, executed rather than placed)."""
+        if self.mode != "block":
+            raise ValueError("sharded execution requires block mode")
+        self._shard = (mesh, axis_name)
+        self._block_fn_cache.clear()
+
+    def _shard_specs(self, tree, mesh, axis):
+        """Per-leaf PartitionSpecs: leading-instance-axis leaves of node
+        arrays shard over ``axis``; host-staged [B, C] value arrays shard
+        axis 1; everything else replicates."""
+        from jax.sharding import PartitionSpec as P
+        D = mesh.devices.size
+        counts = {ir_name: inst.count
+                  for ir_name, inst in self.ir.nodes.items()
+                  if inst.count > 1}
+        host_c = {f"__host__{n}.{ep.name}": inst.count
+                  for n, inst in self.ir.nodes.items() if inst.count > 1
+                  for ep in inst.node.OUTPUTS}
+
+        def spec_state(name, x):
+            c = counts.get(name)
+            x = jnp.asarray(x)
+            if c is not None and x.ndim >= 1 and x.shape[0] == c \
+                    and c % D == 0:
+                return P(axis, *([None] * (x.ndim - 1)))
+            return P(*([None] * x.ndim))
+
+        if isinstance(tree, dict) and "__fb__" in tree:  # the state dict
+            out = {}
+            for name, sub in tree.items():
+                if name == "__fb__":
+                    out[name] = {
+                        k: spec_state(k.split(".", 1)[0], v)
+                        for k, v in sub.items()}
+                else:
+                    out[name] = jax.tree_util.tree_map(
+                        lambda x, name=name: spec_state(name, x), sub)
+            return out
+        # per_block dict: host-value arrays [B, C] shard axis 1
+        out = {}
+        for k, v in tree.items():
+            v = jnp.asarray(v)
+            c = host_c.get(k)
+            if c is not None and v.ndim >= 2 and v.shape[1] == c \
+                    and c % D == 0:
+                out[k] = P(None, axis, *([None] * (v.ndim - 2)))
+            else:
+                out[k] = P(*([None] * v.ndim))
+        return out
+
+    def _wrap_shard_map(self, inner, mesh, axis):
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        cache = {}
+
+        def call(state, per_block, ev_bufs):
+            if "f" not in cache:
+                st_specs = self._shard_specs(state, mesh, axis)
+                pb_specs = self._shard_specs(per_block, mesh, axis)
+                ev_specs = jax.tree_util.tree_map(
+                    lambda x: self._ev_spec(x, mesh, axis), ev_bufs)
+                # outputs: streams replicated after the psums (prefix
+                # spec covers the whole outs subtree)
+                out_specs = (st_specs, P())
+                cache["f"] = shard_map(
+                    inner, mesh=mesh,
+                    in_specs=(st_specs, pb_specs, ev_specs),
+                    out_specs=out_specs, check_vma=False)
+            return cache["f"](state, per_block, ev_bufs)
+
+        return call
+
+    def _ev_spec(self, x, mesh, axis):
+        from jax.sharding import PartitionSpec as P
+        D = mesh.devices.size
+        x = jnp.asarray(x)
+        counts = {inst.count for inst in self.ir.nodes.values()
+                  if inst.count > 1}
+        if x.ndim >= 1 and x.shape[0] in counts and x.shape[0] % D == 0:
+            return P(axis, *([None] * (x.ndim - 1)))
+        return P(*([None] * x.ndim))
 
     # ------------------------------------------------------------------ #
     def process_block(self, block_len: Optional[int] = None,

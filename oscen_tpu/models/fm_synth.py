@@ -76,7 +76,9 @@ class FmOperatorChain(Node):
                 {"output": y1})
 
     def process_block_batched(self, state, ins, events, sr, block_len):
-        if jax.default_backend() != "tpu":
+        from ..ops.pallas.util import pallas_mode
+        use, interp = pallas_mode()
+        if not use:
             return None
         from ..ops.pallas.fm import fm_chain3_scan
 
@@ -95,7 +97,8 @@ class FmOperatorChain(Node):
             jnp.moveaxis(state["phases"], 0, 1),
             jnp.moveaxis(state["prevs"], 0, 1),
             dt, lvl, fb, mix,
-            tbv(ins["env3"]), tbv(ins["env2"]), tbv(ins["env1"]))
+            tbv(ins["env3"]), tbv(ins["env2"]), tbv(ins["env1"]),
+            interpret=interp)
         return ({"phases": jnp.moveaxis(ph, 0, 1),
                  "prevs": jnp.moveaxis(pv, 0, 1)},
                 {"output": jnp.moveaxis(y, 0, 1)})

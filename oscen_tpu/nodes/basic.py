@@ -263,8 +263,9 @@ class FmOperator(Node):
         """All voices through the exact-op-order Pallas kernel
         (ops/pallas/fm.py); the default path is a per-voice 512-step
         while-loop."""
-        import jax
-        if jax.default_backend() != "tpu":
+        from ..ops.pallas.util import pallas_mode
+        use, interp = pallas_mode()
+        if not use:
             return None
         from ..ops.pallas.fm import fm_operator_scan
 
@@ -273,6 +274,6 @@ class FmOperator(Node):
         y, phase, prev = fm_operator_scan(
             state["phase"], state["prev_output"], tbv(dt),
             tbv(ins["phase_mod"]), tbv(ins["feedback"]),
-            tbv(ins["envelope"]), tbv(ins["level"]))
+            tbv(ins["envelope"]), tbv(ins["level"]), interpret=interp)
         return ({"phase": phase, "prev_output": prev},
                 {"output": jnp.moveaxis(y, 0, 1)})

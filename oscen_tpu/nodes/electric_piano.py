@@ -447,7 +447,9 @@ class ElectricPianoVoice(Node):
         consumers sum over all voices), the mixdown is fused into the
         kernel and only the summed audio leaves VMEM."""
         from ..ops.pallas.additive import _UNROLL, additive_voice_block
-        if jax.default_backend() != "tpu" or block_len % _UNROLL:
+        from ..ops.pallas.util import pallas_mode
+        use, interp = pallas_mode()
+        if not use or block_len % _UNROLL:
             return None
         with_mix = "output" in fanin_eps
 
@@ -470,7 +472,8 @@ class ElectricPianoVoice(Node):
         y, or_o, oi_o, cur_o, tgt_o, step_o = additive_voice_block(
             ore.T, oim.T, mre.T, mim.T,
             amp["current"].T, amp["target"].T, mult.T,
-            amp["step"], block_len, with_mix=with_mix)
+            amp["step"], block_len, with_mix=with_mix,
+            interpret=interp)
         new_state = {
             "bank": {**bank, "osc_re": or_o.T, "osc_im": oi_o.T,
                      "mul_re": mre, "mul_im": mim,

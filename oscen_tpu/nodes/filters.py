@@ -169,7 +169,9 @@ class TptFilter(Node):
         (sequential-in-time, voices in lanes — exact reference op order,
         ops/pallas/iir.py).  Only used by the block-mode compiler on TPU
         for mono node arrays; returns None to fall back otherwise."""
-        if self.channels != 1 or jax.default_backend() != "tpu":
+        from ..ops.pallas.util import pallas_mode
+        use, interp = pallas_mode()
+        if self.channels != 1 or not use:
             return None
         from ..ops.pallas.iir import tpt_svf_scan
         B = block_len
@@ -186,7 +188,8 @@ class TptFilter(Node):
         x = jnp.moveaxis(ins["input"], 0, 1)  # [B, C]
         y, z0, z1 = tpt_svf_scan(
             x, jnp.moveaxis(st2["h"], 0, 1), jnp.moveaxis(st2["g"], 0, 1),
-            jnp.moveaxis(st2["k"], 0, 1), state["z0"], state["z1"])
+            jnp.moveaxis(st2["k"], 0, 1), state["z0"], state["z1"],
+            interpret=interp)
         new_state = {**state,
                      "current_cutoff": st2["current_cutoff"][:, -1],
                      "current_q": st2["current_q"][:, -1],

@@ -233,8 +233,9 @@ class PolyBlepOscillator(Node):
         sequential Pallas kernel accumulates the phases (bit-parity with
         tick; the prefix-sum form drifts ~1e-3 RMS/s), then the polyBLEP
         synthesis runs time-parallel on the exact phases."""
-        import jax as _jax
-        if _jax.default_backend() != "tpu":
+        from ..ops.pallas.util import pallas_mode
+        use, interp = pallas_mode()
+        if not use:
             return None
         from ..ops.pallas.phase import phase_scan
 
@@ -242,7 +243,8 @@ class PolyBlepOscillator(Node):
             ins["frequency"] * (1.0 + ins["frequency_mod"]), 0.0)  # [C,B]
         fps = frequency / max(sr.hz, F32_EPS)
         before, carry = phase_scan(state["phase"],
-                                   jnp.moveaxis(fps, 0, 1))
+                                   jnp.moveaxis(fps, 0, 1),
+                                   interpret=interp)
         before = jnp.moveaxis(before, 0, 1)  # [C, B]
         pulse_width = jnp.clip(ins["pulse_width"], 0.0001, 0.9999)
         phase = _wrap_phase(before + ins["phase_mod"])

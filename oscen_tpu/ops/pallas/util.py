@@ -2,6 +2,23 @@
 
 from __future__ import annotations
 
+import os
+
+
+def pallas_mode():
+    """(use_pallas, interpret) for the batched node fast paths.
+
+    TPU runs the kernels natively.  Setting ``OSCEN_PALLAS_INTERPRET=1``
+    runs them in interpret mode on other backends — used by the CPU-mesh
+    multichip tests to exercise the exact kernel code path under
+    ``shard_map`` without TPU hardware."""
+    import jax
+    if jax.default_backend() == "tpu":
+        return True, False
+    if os.environ.get("OSCEN_PALLAS_INTERPRET") == "1":
+        return True, True
+    return False, False
+
 
 def pick_unroll(n: int, max_u: int = 64) -> int:
     """Largest power of two <= ``max_u`` dividing ``n``.

@@ -34,8 +34,17 @@ def shard_compiled_state(compiled, mesh: Mesh, voice_nodes=None,
                          axis_name: str = "voices"):
     """Place a CompiledGraph's device state on ``mesh``, sharding the
     leading (voice) axis of every node-array state leaf and replicating
-    everything else.  XLA then inserts the collectives (the FanIn sum
-    becomes a psum over ICI)."""
+    everything else.
+
+    In block mode this also switches execution to SPMD ``shard_map``
+    over the mesh (``CompiledGraph.enable_sharding``): each device runs
+    the block body — including the Pallas voice kernels — on its local
+    voice shard, per-block inputs and event buffers are sliced per
+    device, and the FanIn mix-down finishes with an explicit ``psum``
+    over ICI.  Sample mode keeps placement-only sharding (GSPMD inserts
+    the collectives)."""
+    if getattr(compiled, "mode", None) == "block":
+        compiled.enable_sharding(mesh, axis_name)
     ir = compiled.ir
     counts = {name: inst.count for name, inst in ir.nodes.items()
               if inst.count > 1 and (voice_nodes is None

@@ -48,3 +48,63 @@ def test_sharded_state_placement():
     s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
     out = s.process_block()
     assert np.isfinite(np.asarray(out["audio_out"])).all()
+
+
+def test_sharded_block_mode_runs_pallas_kernels(monkeypatch):
+    """The actual TPU block path — batched Pallas kernels (interpret mode
+    on CPU) + FanIn fusion — executed under shard_map on the 8-device
+    mesh: each device runs the kernels on its local voice shard and the
+    fused mixdown finishes with a psum.  Must match the unsharded
+    non-Pallas render."""
+    monkeypatch.setenv("OSCEN_PALLAS_INTERPRET", "1")
+
+    def run(shard, voices=32):
+        s = build_poly_synth(voices).compile(48000.0, block_size=64,
+                                             mode="block")
+        if shard:
+            shard_compiled_state(s, voice_mesh(8))
+        for i, note in enumerate((48, 52, 55, 59)):
+            s.queue_event("midi_in", i * 5,
+                          raw_midi_event([0x90, note, 100]))
+        out = [np.asarray(s.process_block()["audio_out"])
+               for _ in range(3)]
+        return np.concatenate(out)
+
+    b = run(True)
+    monkeypatch.delenv("OSCEN_PALLAS_INTERPRET")
+    a = run(False)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    assert np.abs(a).max() > 0.01
+
+
+def test_sharded_electric_piano_fanin_fusion(monkeypatch):
+    """Flagship model sharded: fused additive voice kernel per device
+    with the in-kernel mixdown pre-reduction, psum across the mesh."""
+    monkeypatch.setenv("OSCEN_PALLAS_INTERPRET", "1")
+    from oscen_tpu.models.electric_piano import build_electric_piano
+
+    def run(shard):
+        s = build_electric_piano(16).compile(48000.0, block_size=64,
+                                             mode="block")
+        if shard:
+            shard_compiled_state(s, voice_mesh(8))
+        for i in range(8):
+            s.queue_event("midi_in", 0,
+                          raw_midi_event([0x90, 48 + i * 3, 100]))
+        out = [np.asarray(s.process_block()["out"]) for _ in range(3)]
+        return np.concatenate(out)
+
+    b = run(True)
+    monkeypatch.delenv("OSCEN_PALLAS_INTERPRET")
+    a = run(False)
+    # fused kernel (closed-form subgroups) vs exact per-sample fallback
+    np.testing.assert_allclose(a, b, atol=5e-4)
+    assert np.abs(a).max() > 0.001
+
+
+def test_sharded_requires_divisible_voice_count():
+    s = build_poly_synth(6).compile(48000.0, block_size=64, mode="block")
+    shard_compiled_state(s, voice_mesh(8))  # 6 voices, 8 devices
+    s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
+    with pytest.raises(ValueError, match="divisible"):
+        s.process_block()
