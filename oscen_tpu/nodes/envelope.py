@@ -306,13 +306,17 @@ class AdsrEnvelope(Node):
             att = 1.0 - (1.0 - entry) * pw(1.0 - a_c, tau)
             att = jnp.where(tau >= ln, 1.0, att)
             u = tau - ln  # decay steps after attack end (entry level 1.0)
-            att_dec = sus + (1.0 - sus) * pw(1.0 - d_c, u)
+            # one decay power sweep serves both the post-attack decay and
+            # the DECAY stage (exponent selected per stage)
+            stage = st["stage"]
+            pd = pw(1.0 - d_c, jnp.where(stage == ATTACK, u, tau))
+            att_dec = sus + (1.0 - sus) * pd
             att_dec = jnp.where(u >= d_n, sus, att_dec)
             attack_lv = jnp.where(tau <= ln, att,
                                   jnp.where(u <= d_n, att_dec, sus))
 
             # DECAY: toward sus, snap at stage end; then SUSTAIN
-            dec = sus + (entry - sus) * pw(1.0 - d_c, tau)
+            dec = sus + (entry - sus) * pd
             decay_lv = jnp.where(tau >= ln, sus, dec)
 
             # RELEASE: linear from entry level to 0 over the stage length

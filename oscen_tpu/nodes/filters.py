@@ -184,7 +184,31 @@ class TptFilter(Node):
                  "current_q": jnp.broadcast_to(st["current_q"], (B,))},
                 i, sr.hz)
 
-        st2 = jax.vmap(coefs)(state, ins)  # h/g/k: [C, B]
+        # Hoist the per-sample tan out of the coefficient recompute when
+        # every parameter row is block-constant (the common case: UI
+        # params, or a settled filter envelope) — one [C] coefficient set
+        # broadcast instead of a [C, B] transcendental sweep.  The
+        # per-sample path remains for modulated cutoffs, selected at
+        # runtime (lax.cond keeps both compiled).
+        C = ins["input"].shape[0]
+        param_keys = ("cutoff", "q", "f_mod")
+        const = jnp.bool_(True)
+        for kkey in param_keys:
+            const = jnp.logical_and(
+                const, jnp.all(ins[kkey] == ins[kkey][:, :1]))
+        bcast_keys = ("current_cutoff", "current_q", "h", "g", "r", "k")
+
+        def fast(_):
+            p0 = {kkey: ins[kkey][:, 0] for kkey in param_keys}
+            st1 = self._apply_parameter_updates(state, p0, sr.hz)
+            return {kkey: jnp.broadcast_to(st1[kkey][:, None], (C, B))
+                    for kkey in bcast_keys}
+
+        def slow(_):
+            st1 = jax.vmap(coefs)(state, ins)
+            return {kkey: st1[kkey] for kkey in bcast_keys}
+
+        st2 = jax.lax.cond(const, fast, slow, operand=None)
         x = jnp.moveaxis(ins["input"], 0, 1)  # [B, C]
         y, z0, z1 = tpt_svf_scan(
             x, jnp.moveaxis(st2["h"], 0, 1), jnp.moveaxis(st2["g"], 0, 1),
