@@ -47,16 +47,33 @@ def main():
     elif model == "pivot":
         from oscen_tpu.models.pivot import build_pivot
         g = build_pivot(NUM_VOICES)
+    elif model == "readme_synth":
+        # BASELINE.md config 1: single-voice README synth
+        from oscen_tpu.models.simple import build_simple_synth
+        g = build_simple_synth()
+        NUM_VOICES = 1
+    elif model == "simple_echo":
+        # BASELINE.md config 2: oscillator -> feedback delay line
+        from oscen_tpu.models.simple import build_simple_echo
+        g = build_simple_echo()
+        NUM_VOICES = 1
+    elif model == "saturator":
+        # BASELINE.md config 4: 4x oversampled hard clip (multirate)
+        from oscen_tpu.models.simple import build_saturator
+        g = build_saturator(factor=4)
+        NUM_VOICES = 1
     else:
         raise SystemExit(f"unknown --model={model} (electric_piano, "
-                         f"poly_synth, fm_synth)")
+                         f"poly_synth, fm_synth, pivot, readme_synth, "
+                         f"simple_echo, saturator)")
     synth = g.compile(sample_rate=SR, block_size=BLOCK, mode=mode)
 
     def audio_of(outs):
         return next(v for v in outs.values() if hasattr(v, "shape"))
 
+    has_midi = any(i.name == "midi_in" for i in synth.ir.inputs)
     # strike a large chord so every voice is active
-    for i in range(NUM_VOICES):
+    for i in range(NUM_VOICES if has_midi else 0):
         synth.queue_event("midi_in", 0, raw_midi_event([0x90, 36 + (i % 64),
                                                         100]))
     # first block carries the events; steady-state rendering follows

@@ -190,6 +190,53 @@ def make_block_fn(prog, block_len: int, shard=None):
     def node_count(name: str) -> int:
         return ir.nodes[name].count
 
+    # ---- island dissolution plans ------------------------------------ #
+    # A feedback island whose every cycle passes through a Delay with a
+    # static ``min_delay >= B + 4`` promise dissolves into acyclic block
+    # evaluation: the delay reads its whole block from pre-block buffer
+    # contents first, the remaining nodes evaluate as normal vectorized
+    # block nodes (stale feedback reads become one-sample block shifts,
+    # already handled by resolve_block), and the delay writes last.  This
+    # replaces the per-sample island scan — the simple-echo topology goes
+    # from a B-step scan to three vectorized phases.
+    from ..nodes.delay import Delay as _Delay
+
+    def _dissolve_plan(comp):
+        if len(comp) == 1 and not is_island(comp):
+            return None
+        if any(ir.nodes[n].rate != 1 for n in comp):
+            return None
+        cset = set(comp)
+        dels = [n for n in comp
+                if isinstance(ir.nodes[n].node, _Delay)
+                and ir.nodes[n].node.min_delay >= B + 4
+                and ir.nodes[n].count == 1]
+        if not dels:
+            return None
+        dset = set(dels)
+        for d in dels:
+            for epn in ("delay_samples", "feedback"):
+                for e in prog.edges_by_dst.get((d, epn), []):
+                    if any(r.node in cset
+                           for r in e.source.endpoints()):
+                        return None  # params fed from inside the island
+        rest = [n for n in comp if n not in dset]
+        sub = {n: (deps[n] & cset) - dset for n in rest}
+        order = []
+        pending = dict(sub)
+        while pending:
+            ready = [n for n, d_ in pending.items()
+                     if not (d_ & set(pending))]
+            if not ready:
+                return None  # a cycle not broken by the delays
+            ready.sort(key=lambda n: topo_pos[n])
+            order.extend(ready)
+            for n in ready:
+                del pending[n]
+        return dels, order
+
+    dissolve_plans = [_dissolve_plan(c) for c in comps]
+
     # ------------------------------------------------------------------ #
     def block_fn(state, per_block, ev_bufs):
         env: Dict[Tuple[str, str], Any] = {}
@@ -287,11 +334,13 @@ def make_block_fn(prog, block_len: int, shard=None):
                     v = jnp.moveaxis(v, -1, 0)
             return v
 
-        def gather_block(name: str) -> Dict[str, Any]:
+        def gather_block(name: str, only_eps=None) -> Dict[str, Any]:
             inst = ir.nodes[name]
             ins: Dict[str, Any] = {}
             for ep in inst.node.INPUTS:
                 if ep.kind in (Kind.EVENT, Kind.ASSET):
+                    continue
+                if only_eps is not None and ep.name not in only_eps:
                     continue
                 edges = prog.edges_by_dst.get((name, ep.name), [])
                 val = None
@@ -317,48 +366,68 @@ def make_block_fn(prog, block_len: int, shard=None):
             return jnp.full(full, float(ep.default or 0.0), jnp.float32)
 
         # -------------------------------------------------------------- #
-        for comp in comps:
-            if len(comp) == 1 and not is_island(comp):
-                name = comp[0]
-                inst = ir.nodes[name]
-                node = inst.node
-                sr = prog.scaled_sr(inst)
-                Bn = B * inst.rate
-                ins = gather_block(name)
-                evs = {ep.name: ev_bufs[f"{name}.{ep.name}"]
-                       for ep in node.INPUTS if ep.kind == Kind.EVENT
-                       and f"{name}.{ep.name}" in ev_bufs
-                       and ev_bufs[f"{name}.{ep.name}"].capacity > 0}
-                st = new_state[name]
-                batched = None
-                if inst.count > 1 and not evs and hasattr(
-                        node, "process_block_batched"):
-                    # voice-batched fast path (e.g. one Pallas kernel
-                    # across all instances) — None falls back to vmap
-                    import inspect as _inspect
-                    sig = _inspect.signature(node.process_block_batched)
-                    if "fanin_eps" in sig.parameters:
-                        batched = node.process_block_batched(
-                            st, ins, evs, sr, Bn,
-                            fanin_eps=fanin_only.get(name, frozenset()))
-                    else:
-                        batched = node.process_block_batched(
-                            st, ins, evs, sr, Bn)
-                if batched is not None:
-                    st, outs = batched
-                elif inst.count > 1:
-                    st, outs = jax.vmap(
-                        lambda s, i, ev: node.process_block(
-                            s, i, ev, sr, Bn),
-                        in_axes=(0, 0, 0))(st, ins, evs)
+        def process_single(name: str) -> None:
+            inst = ir.nodes[name]
+            node = inst.node
+            sr = prog.scaled_sr(inst)
+            Bn = B * inst.rate
+            ins = gather_block(name)
+            evs = {ep.name: ev_bufs[f"{name}.{ep.name}"]
+                   for ep in node.INPUTS if ep.kind == Kind.EVENT
+                   and f"{name}.{ep.name}" in ev_bufs
+                   and ev_bufs[f"{name}.{ep.name}"].capacity > 0}
+            st = new_state[name]
+            batched = None
+            if inst.count > 1 and not evs and hasattr(
+                    node, "process_block_batched"):
+                # voice-batched fast path (e.g. one Pallas kernel
+                # across all instances) — None falls back to vmap
+                import inspect as _inspect
+                sig = _inspect.signature(node.process_block_batched)
+                if "fanin_eps" in sig.parameters:
+                    batched = node.process_block_batched(
+                        st, ins, evs, sr, Bn,
+                        fanin_eps=fanin_only.get(name, frozenset()))
                 else:
-                    st, outs = node.process_block(st, ins, evs, sr, Bn)
-                new_state[name] = st
-                for k, v in outs.items():
-                    if inst.count > 1:
-                        env[(name, k)] = v  # [C, B, ...] (vmap out_axes 0)
-                    else:
-                        env[(name, k)] = v  # [B, ...]
+                    batched = node.process_block_batched(
+                        st, ins, evs, sr, Bn)
+            if batched is not None:
+                st, outs = batched
+            elif inst.count > 1:
+                st, outs = jax.vmap(
+                    lambda s, i, ev: node.process_block(
+                        s, i, ev, sr, Bn),
+                    in_axes=(0, 0, 0))(st, ins, evs)
+            else:
+                st, outs = node.process_block(st, ins, evs, sr, Bn)
+            new_state[name] = st
+            for k, v in outs.items():
+                env[(name, k)] = v  # [C, B, ...] / [B, ...]
+
+        for ci, comp in enumerate(comps):
+            if len(comp) == 1 and not is_island(comp):
+                process_single(comp[0])
+            elif dissolve_plans[ci] is not None:
+                # dissolved feedback island (all cycles pass min-delay
+                # promises >= B): read delays -> acyclic rest -> write
+                dels, rest_order = dissolve_plans[ci]
+                stash = {}
+                for d in dels:
+                    node_d = ir.nodes[d].node
+                    ins_p = gather_block(
+                        d, only_eps=("delay_samples", "feedback"))
+                    delayed, dclamp, fbc = node_d.block_read(
+                        new_state[d], ins_p, B)
+                    env[(d, "output")] = delayed
+                    stash[d] = (delayed, fbc)
+                for n in rest_order:
+                    process_single(n)
+                for d in dels:
+                    node_d = ir.nodes[d].node
+                    ins_x = gather_block(d, only_eps=("input",))
+                    delayed, fbc = stash[d]
+                    new_state[d] = node_d.block_write(
+                        new_state[d], ins_x["input"], delayed, fbc, B)
             else:
                 # ---- scan island: per-sample over the component -------
                 island = comp

@@ -218,10 +218,11 @@ class _Parser:
                     self.expect(":")
                     ramp = int(self.number())
                     spec.ramp_frames = ramp
-                elif key in ("center", "step", "smoother_ms"):
+                elif key in ("center", "step", "smoother_ms", "smoother"):
                     self.expect(":")
-                    setattr(spec, key if key != "smoother_ms"
-                            else "smoother_ms", self.number())
+                    setattr(spec, "smoother_ms"
+                            if key in ("smoother", "smoother_ms") else key,
+                            self.number())
                 elif key in ("unit", "display_name", "group"):
                     self.expect(":")
                     setattr(spec, key, self.ident())

@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..graph.builder import Graph, call
+from ..nodes.basic import HardClip
 from ..nodes.delay import Delay
 from ..nodes.filters import TptFilter
 from ..nodes.oscillators import PolyBlepOscillator
@@ -29,14 +30,18 @@ def build_simple_synth() -> Graph:
 
 
 def build_simple_echo(delay_seconds: float = 0.25,
-                      sample_rate: float = 48_000.0) -> Graph:
+                      sample_rate: float = 48_000.0,
+                      min_delay: bool = True) -> Graph:
     g = Graph("SimpleEcho")
     x = g.input("x", "stream")
     fb = g.input("feedback", "value", default=0.5)
     g.input("filter_cutoff", "value", default=4000.0)
     mix = g.input("mix", "value", default=0.5)
     g.output("out", "stream")
-    d = g.add("delay", Delay(delay_seconds * sample_rate, 0.0))
+    n = int(delay_seconds * sample_rate)
+    # the static min-delay promise lets the block compiler dissolve the
+    # feedback island (read -> filter chain -> write, fully vectorized)
+    d = g.add("delay", Delay(n, 0.0, min_delay=n if min_delay else 0))
     f = g.add("filter", TptFilter(4000.0, 0.7))
     # delay input = tanh(x + filter.output * feedback): the feedback leg
     # reads the filter's previous sample (cycle broken at the Delay)
@@ -44,4 +49,18 @@ def build_simple_echo(delay_seconds: float = 0.25,
     g.connect(d.output, f.input)
     g.connect("filter_cutoff", f.cutoff)
     g.connect(x * (1.0 - mix) + f.output * mix, "out")
+    return g
+
+
+def build_saturator(factor: int = 4) -> Graph:
+    """The oversampled-saturator graph (reference
+    examples/oversampled-saturator/src/main.rs:64-80): saw at 2 kHz into
+    a hard clip inside a ``rate=factor`` oversampled region, sinc
+    downsampled at the boundary."""
+    g = Graph(f"Sat{factor}x")
+    g.output("audio_out", "stream")
+    osc = g.add("osc", PolyBlepOscillator.saw(2000.0, 0.6), rate=factor)
+    clip = g.add("clip", HardClip(), rate=factor)
+    g.connect(osc.output, clip.input)
+    g.connect(clip.output, "audio_out", policy="sinc")
     return g

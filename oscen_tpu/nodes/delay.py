@@ -78,6 +78,39 @@ class Delay(Node):
         return ({"buf": buf, "write_pos": wp, "frame_counter": counter},
                 {"output": delayed})
 
+    # ------------------------------------------------------------------ #
+    # island dissolution (graph/block_mode.py): with min_delay >= B + 4,
+    # every read this block addresses pre-block buffer contents, so the
+    # compiler splits the node into a whole-block read (before the rest
+    # of the feedback island) and a whole-block write (after it).
+    # ------------------------------------------------------------------ #
+    def block_read(self, state, ins, block_len):
+        """Whole-block delayed output from the carried ring buffer; valid
+        only under the ``min_delay >= block+4`` promise."""
+        import jax
+        cap = state["buf"].shape[-1]
+        delay = jnp.maximum(
+            jnp.clip(ins["delay_samples"], 0.0, jnp.float32(cap - 1)),
+            jnp.float32(self.min_delay))
+        fb = jnp.clip(ins["feedback"], 0.0, 0.99)
+        offs = jnp.arange(block_len, dtype=jnp.int32)
+        wps = state["write_pos"] + offs
+        delayed = jax.vmap(
+            lambda w, dd: rb_get(state["buf"], w, dd))(wps, delay)
+        return delayed, delay, fb
+
+    def block_write(self, state, x, delayed, fb, block_len):
+        """Push the whole block (``input + delayed * feedback``)."""
+        cap = state["buf"].shape[-1]
+        mask = cap - 1
+        offs = jnp.arange(block_len, dtype=jnp.int32)
+        buf = state["buf"].at[(state["write_pos"] + offs) & mask].set(
+            x + delayed * fb)
+        counter = (state["frame_counter"] + block_len) % FRAMES_PER_UPDATE
+        return {"buf": buf,
+                "write_pos": (state["write_pos"] + block_len) & mask,
+                "frame_counter": jnp.int32(counter)}
+
     def process_block(self, state, ins, events, sr, block_len):
         """Chunked block path (requires ``min_delay``): the feedback loop
         has a lag of at least ``min_delay`` samples, so chunks of

@@ -114,16 +114,7 @@ def test_sinc_dc_gain_unity():
     assert abs(float(np.asarray(lo)[-1]) - 1.0) < 1e-3
 
 
-def build_saturator(factor):
-    """The oversampled-saturator graph (reference
-    examples/oversampled-saturator/src/main.rs:64-80)."""
-    g = Graph(f"Sat{factor}x")
-    g.output("audio_out", "stream")
-    osc = g.add("osc", PolyBlepOscillator.saw(2000.0, 0.6), rate=factor)
-    clip = g.add("clip", HardClip(), rate=factor)
-    g.connect(osc.output, clip.input)
-    g.connect(clip.output, "audio_out", policy="sinc")
-    return g
+from oscen_tpu.models.simple import build_saturator  # noqa: E402
 
 
 def _bin_mag(x, sr, freq):
