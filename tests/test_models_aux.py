@@ -320,3 +320,86 @@ def test_nih_params_center_validation():
     p = FloatParam("f", 1000.0, ParamSpec(min=20.0, max=20000.0, log=True))
     import math
     assert abs(p.unnormalize(0.5) - math.sqrt(20.0 * 20000.0)) < 1.0
+
+
+def test_adsr_bank_matches_independent_envelopes():
+    """AdsrBank == N independent AdsrEnvelopes (horizontal fusion must be
+    semantics-free)."""
+    from oscen_tpu import AdsrEnvelope, Graph
+    from oscen_tpu.nodes.envelope import AdsrBank
+
+    sections = [("a", 0.01, 0.1, 0.7, 0.3), ("b", 0.0, 0.0, 0.5, 0.05)]
+
+    def run_bank():
+        g = Graph("Bank")
+        g.input("gate", "event")
+        g.output("oa", "stream")
+        g.output("ob", "stream")
+        bank = g.add("bank", AdsrBank(sections))
+        g.connect("gate", bank.gate)
+        g.connect(bank.a, "oa")
+        g.connect(bank.b, "ob")
+        c = g.compile(48000.0, block_size=256)
+        c.queue_event("gate", 37, 0.8)
+        r1 = c.render(2048)
+        c.queue_event("gate", 5, 0.0)
+        r2 = c.render(2048)
+        return (np.concatenate([r1["oa"], r2["oa"]]),
+                np.concatenate([r1["ob"], r2["ob"]]))
+
+    def run_single(idx):
+        name, a, d, s_, r = sections[idx]
+        g = Graph("One")
+        g.input("gate", "event")
+        g.output("o", "stream")
+        env = g.add("env", AdsrEnvelope(a, d, s_, r))
+        g.connect("gate", env.gate)
+        g.connect(env.output, "o")
+        c = g.compile(48000.0, block_size=256)
+        c.queue_event("gate", 37, 0.8)
+        r1 = c.render(2048)
+        c.queue_event("gate", 5, 0.0)
+        r2 = c.render(2048)
+        return np.concatenate([r1["o"], r2["o"]])
+
+    oa, ob = run_bank()
+    np.testing.assert_array_equal(oa, run_single(0))
+    np.testing.assert_array_equal(ob, run_single(1))
+
+
+def test_vca_multiplies_streams():
+    from oscen_tpu import Graph, Oscillator, Vca
+
+    g = Graph("V")
+    g.input("x", "stream")
+    g.input("c", "stream")
+    g.output("out", "stream")
+    v = g.add("v", Vca())
+    g.connect("x", v.input)
+    g.connect("c", v.control)
+    g.connect(v.output, "out")
+    comp = g.compile(48000.0, block_size=64)
+    x = np.linspace(-1, 1, 64, dtype=np.float32)
+    c = np.linspace(0, 1, 64, dtype=np.float32)
+    out = comp.render_mono(64, stream_inputs={"x": x, "c": c})
+    np.testing.assert_allclose(out, x * c, atol=1e-7)
+
+
+def test_dsl_nih_spec_fields_roundtrip():
+    """graph! specs carry the nih fields through to nih_params."""
+    from oscen_tpu import parse_graph, nih_params
+
+    g = parse_graph("""
+        name: P;
+        input cutoff: value = 1000.0
+            [100.0..10000.0, center: 1000.0, smoother: 50.0, unit: Hz];
+        input mix: value = 0.5 [0.0..1.0, ramp: 64];
+        output out: stream;
+        nodes { osc = Oscillator::sine(220.0, 0.5); }
+        connections { osc.output -> out; }
+    """)
+    p = nih_params(g)
+    assert abs(p.cutoff.unnormalize(0.5) - 1000.0) < 1e-3
+    assert p.cutoff.smoother_ms == 50.0
+    assert p.cutoff.unit == "Hz"
+    assert p.mix.ramp_frames == 64

@@ -108,3 +108,27 @@ def test_sharded_requires_divisible_voice_count():
     s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
     with pytest.raises(ValueError, match="divisible"):
         s.process_block()
+
+
+def test_sharded_fm_synth(monkeypatch):
+    """FM synth (chain kernel + AdsrBank + TPT) under voice sharding with
+    interpret-mode Pallas kernels."""
+    monkeypatch.setenv("OSCEN_PALLAS_INTERPRET", "1")
+    from oscen_tpu.models.fm_synth import build_fm_synth
+
+    def run(shard):
+        s = build_fm_synth(16).compile(48000.0, block_size=64,
+                                       mode="block")
+        if shard:
+            shard_compiled_state(s, voice_mesh(8))
+        for n in (48, 55, 60, 64):
+            s.queue_event("midi_in", 0, raw_midi_event([0x90, n, 100]))
+        out = [np.asarray(s.process_block()["audio_out"])
+               for _ in range(3)]
+        return np.concatenate(out)
+
+    b = run(True)
+    monkeypatch.delenv("OSCEN_PALLAS_INTERPRET")
+    a = run(False)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    assert np.abs(a).max() > 1e-3
