@@ -191,3 +191,131 @@ void oscen_resample_channel(const float* in, int64_t n_in, int32_t src,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------------- //
+// WAV decoding (the native data-loader; reference decodes with hound).
+// Supports PCM 8/16/24/32-bit and IEEE float32, incl. WAVE_FORMAT_
+// EXTENSIBLE, arbitrary chunk order, and odd-sized chunks (word
+// padding).  Output is interleaved float32 normalized to [-1, 1].
+// ------------------------------------------------------------------- //
+#include <cstdio>
+
+namespace {
+
+struct WavInfo {
+    int32_t channels = 0;
+    int32_t rate = 0;
+    int64_t frames = 0;
+    int32_t fmt = 0;        // 1 = PCM, 3 = float
+    int32_t bits = 0;
+    int64_t data_off = 0;
+    int64_t data_len = 0;
+};
+
+bool wav_scan(FILE* f, WavInfo* w) {
+    uint8_t hdr[12];
+    if (std::fread(hdr, 1, 12, f) != 12) return false;
+    if (std::memcmp(hdr, "RIFF", 4) || std::memcmp(hdr + 8, "WAVE", 4))
+        return false;
+    uint8_t ch[8];
+    bool have_fmt = false, have_data = false;
+    while (std::fread(ch, 1, 8, f) == 8) {
+        uint32_t len = uint32_t(ch[4]) | (uint32_t(ch[5]) << 8)
+            | (uint32_t(ch[6]) << 16) | (uint32_t(ch[7]) << 24);
+        long pos = std::ftell(f);
+        if (!std::memcmp(ch, "fmt ", 4) && len >= 16) {
+            uint8_t b[40];
+            size_t n = len < sizeof(b) ? len : sizeof(b);
+            if (std::fread(b, 1, n, f) != n) return false;
+            uint16_t tag = uint16_t(b[0]) | (uint16_t(b[1]) << 8);
+            w->channels = uint16_t(b[2]) | (uint16_t(b[3]) << 8);
+            w->rate = int32_t(uint32_t(b[4]) | (uint32_t(b[5]) << 8)
+                              | (uint32_t(b[6]) << 16)
+                              | (uint32_t(b[7]) << 24));
+            w->bits = uint16_t(b[14]) | (uint16_t(b[15]) << 8);
+            if (tag == 0xFFFE && len >= 40) {       // EXTENSIBLE
+                tag = uint16_t(b[24]) | (uint16_t(b[25]) << 8);
+            }
+            w->fmt = tag;
+            have_fmt = true;
+        } else if (!std::memcmp(ch, "data", 4)) {
+            w->data_off = pos;
+            w->data_len = len;
+            have_data = true;
+        }
+        if (std::fseek(f, pos + long(len + (len & 1)), SEEK_SET)) break;
+    }
+    if (!have_fmt || !have_data || w->channels <= 0 || w->bits <= 0)
+        return false;
+    const int64_t bytes_per_frame = int64_t(w->channels) * (w->bits / 8);
+    if (bytes_per_frame <= 0) return false;
+    w->frames = w->data_len / bytes_per_frame;
+    return (w->fmt == 1 && (w->bits == 8 || w->bits == 16 || w->bits == 24
+                            || w->bits == 32))
+        || (w->fmt == 3 && w->bits == 32);
+}
+
+}  // namespace
+
+extern "C" int32_t oscen_wav_info(const char* path, int32_t* channels, int32_t* rate,
+                       int64_t* frames, int32_t* fmt, int32_t* bits) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    WavInfo w;
+    const bool ok = wav_scan(f, &w);
+    std::fclose(f);
+    if (!ok) return -2;
+    *channels = w.channels;
+    *rate = w.rate;
+    *frames = w.frames;
+    *fmt = w.fmt;
+    *bits = w.bits;
+    return 0;
+}
+
+extern "C" int32_t oscen_wav_read(const char* path, float* out, int64_t capacity) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    WavInfo w;
+    if (!wav_scan(f, &w)) { std::fclose(f); return -2; }
+    const int64_t total = w.frames * w.channels;
+    if (total > capacity) { std::fclose(f); return -3; }
+    if (std::fseek(f, long(w.data_off), SEEK_SET)) {
+        std::fclose(f);
+        return -4;
+    }
+    std::vector<uint8_t> raw(size_t(w.data_len));
+    if (std::fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+        std::fclose(f);
+        return -4;
+    }
+    std::fclose(f);
+    const uint8_t* p = raw.data();
+    if (w.fmt == 3) {                      // float32
+        std::memcpy(out, p, size_t(total) * 4);
+    } else if (w.bits == 16) {
+        for (int64_t i = 0; i < total; ++i) {
+            int16_t v;
+            std::memcpy(&v, p + i * 2, 2);
+            out[i] = float(v) / 32768.0f;
+        }
+    } else if (w.bits == 24) {
+        for (int64_t i = 0; i < total; ++i) {
+            int32_t v = int32_t(p[i * 3]) | (int32_t(p[i * 3 + 1]) << 8)
+                | (int32_t(p[i * 3 + 2]) << 16);
+            if (v >= (1 << 23)) v -= (1 << 24);
+            out[i] = float(v) / float(1 << 23);
+        }
+    } else if (w.bits == 32) {             // PCM32
+        for (int64_t i = 0; i < total; ++i) {
+            int32_t v;
+            std::memcpy(&v, p + i * 4, 4);
+            out[i] = float(double(v) / 2147483648.0);
+        }
+    } else {                               // PCM8 (unsigned)
+        for (int64_t i = 0; i < total; ++i)
+            out[i] = (float(p[i]) - 128.0f) / 128.0f;
+    }
+    return 0;
+}
+

@@ -87,8 +87,21 @@ class AudioAsset:
     @staticmethod
     def from_wav(path: str,
                  graph_rate: Optional[float] = None) -> "AudioAsset":
-        """Decode a PCM/float WAV (stdlib decoder; int formats normalized
-        to [-1, 1], reference asset/mod.rs:138-155)."""
+        """Decode a PCM/float WAV (reference asset/mod.rs:138-155, which
+        uses the native hound decoder).  The native C++ decoder
+        (native/oscen_host.cpp) is preferred — it also reads IEEE-float
+        and WAVE_FORMAT_EXTENSIBLE files the stdlib module cannot; the
+        stdlib path is the fallback."""
+        from ..utils.native import decode_wav_native
+        try:
+            native = decode_wav_native(path)
+        except FileNotFoundError as e:
+            raise AssetError(f"failed to decode WAV '{path}': {e}") from e
+        except ValueError:
+            native = None  # fall back to the stdlib decoder's diagnostics
+        if native is not None:
+            data, n_ch, rate = native
+            return AudioAsset.from_samples(data, rate, n_ch, graph_rate)
         try:
             with wave.open(path, "rb") as w:
                 n_ch = w.getnchannels()

@@ -44,7 +44,9 @@ def _load() -> Optional[ctypes.CDLL]:
         if _TRIED:
             return _LIB
         _TRIED = True
-        path = _SO if os.path.exists(_SO) else _build()
+        fresh = (os.path.exists(_SO) and os.path.exists(_SRC)
+                 and os.path.getmtime(_SO) >= os.path.getmtime(_SRC))
+        path = _SO if fresh else _build()
         if path is None:
             return None
         try:
@@ -72,6 +74,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.oscen_wav_info.restype = ctypes.c_int32
+        lib.oscen_wav_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.oscen_wav_read.restype = ctypes.c_int32
+        lib.oscen_wav_read.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64]
         _LIB = lib
         return _LIB
 
@@ -139,3 +150,36 @@ def resample_channel_native(x: np.ndarray, src: int,
         src, dst, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n_out)
     return out
+
+
+def decode_wav_native(path: str):
+    """Native WAV decode (the data-loader): returns
+    (interleaved float32 [frames*channels], channels, rate) or None when
+    the native runtime is unavailable; raises ValueError on a corrupt or
+    unsupported file.  Handles PCM 8/16/24/32 and IEEE float32, incl.
+    WAVE_FORMAT_EXTENSIBLE — a superset of the stdlib ``wave`` module
+    (which cannot read float WAVs at all)."""
+    lib = _load()
+    if lib is None:
+        return None
+    ch = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    fmt = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    rc = lib.oscen_wav_info(path.encode(), ctypes.byref(ch),
+                            ctypes.byref(rate), ctypes.byref(frames),
+                            ctypes.byref(fmt), ctypes.byref(bits))
+    if rc == -1:
+        raise FileNotFoundError(path)
+    if rc != 0:
+        raise ValueError(f"unsupported or corrupt WAV: {path}")
+    total = int(frames.value) * int(ch.value)
+    out = np.empty((max(total, 1),), np.float32)
+    rc = lib.oscen_wav_read(path.encode(),
+                            out.ctypes.data_as(
+                                ctypes.POINTER(ctypes.c_float)),
+                            len(out))
+    if rc != 0:
+        raise ValueError(f"failed to read WAV data: {path} (rc={rc})")
+    return out[:total], int(ch.value), int(rate.value)

@@ -87,3 +87,55 @@ def test_native_resampler_quality(lib_available):
     x = np.full(500, 0.7, np.float32)
     out = resample_channel_native(x, 48000, 44100)
     np.testing.assert_allclose(out[36:-36], 0.7, atol=1e-3)
+
+
+def test_native_wav_decoder_parity_and_float32(tmp_path):
+    """The native data-loader decodes PCM16 identically to the stdlib
+    path and additionally reads IEEE-float32 WAVs (which the stdlib
+    ``wave`` module rejects)."""
+    import struct
+    import numpy as np
+    from oscen_tpu import AudioAsset
+    from oscen_tpu.utils import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+
+    # PCM16 stereo round-trip: native == stdlib
+    rng = np.random.default_rng(0)
+    audio = rng.uniform(-0.9, 0.9, (1000, 2)).astype(np.float32)
+    p16 = str(tmp_path / "a16.wav")
+    AudioAsset.write_wav(p16, audio, 44100)
+    data, ch, rate = native.decode_wav_native(p16)
+    assert (ch, rate) == (2, 44100)
+    a = AudioAsset.from_wav(p16)          # uses the native path
+    assert a.channels == 2 and a.sample_rate == 44100
+    # stdlib reference decode
+    import wave
+    with wave.open(p16, "rb") as w:
+        raw = w.readframes(w.getnframes())
+    ref = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    np.testing.assert_array_equal(data, ref)
+
+    # float32 WAV (hand-built; stdlib wave cannot read format 3)
+    x = np.sin(np.linspace(0, 20, 500)).astype(np.float32)
+    pf = str(tmp_path / "f32.wav")
+    payload = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 4, 4, 32)
+    with open(pf, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8
+                                      + len(payload)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    a = AudioAsset.from_wav(pf)
+    assert a.sample_rate == 48000 and a.channels == 1
+    np.testing.assert_array_equal(a.channel(0), x)
+
+    # corrupt file raises AssetError through the public API
+    pc = str(tmp_path / "bad.wav")
+    open(pc, "wb").write(b"RIFFxxxxJUNK")
+    import pytest
+    from oscen_tpu import AssetError
+    with pytest.raises(AssetError):
+        AudioAsset.from_wav(pc)
