@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .scan import affine_scan_scalar
+
 
 # --------------------------------------------------------------------- #
 # coefficients (reference resample/coeffs.rs)
@@ -240,12 +240,20 @@ class SincDownFir:
 # --------------------------------------------------------------------- #
 def _allpass_block(a: float, x, y_prev, x_prev):
     """First-order allpass y[n] = a (x[n] - y[n-1]) + x[n-1] over a block
-    via an associative scalar scan; returns (y, y_last, x_last)."""
-    xm1 = jnp.concatenate([x_prev[None], x[:-1]], axis=0)
-    b = a * x + xm1
-    coef = jnp.full_like(x, -a)
-    y = affine_scan_scalar(coef, b, y_prev)
-    return y, y[-1], x[-1]
+    with the reference's exact per-sample op order
+    (halfband_iir.rs:24-63) — sequential-exact, so oversampled regions
+    stay block-size invariant (an associative-scan form reassociates and
+    makes output depend on where block boundaries fall).
+    Returns (y, y_last, x_last)."""
+    import jax
+
+    def step(carry, xt):
+        yp, xp = carry
+        y = a * (xt - yp) + xp
+        return (y, xt), y
+
+    (y_last, x_last), y = jax.lax.scan(step, (y_prev, x_prev), x)
+    return y, y_last, x_last
 
 
 class _IirHalfband2x:

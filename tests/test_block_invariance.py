@@ -140,3 +140,53 @@ def test_full_voice_invariance():
     outs = render_chunked(build, 4096, (512, 128, 250), events)
     assert_all_equal(outs)
     assert np.abs(outs[512]).max() > 0.05
+
+
+@pytest.mark.parametrize("policy", ["sinc", "sinc_iir", "linear", "latch"])
+def test_multirate_boundary_invariance(policy):
+    """Oversampled regions (every resampler family at the boundary) are
+    block-size invariant — the IIR halfband allpasses replay the exact
+    per-sample op order rather than an associative scan."""
+    from oscen_tpu import HardClip
+
+    def run(bs):
+        g = Graph("S")
+        g.output("out", "stream")
+        o = g.add("osc", PolyBlepOscillator.saw(500.0, 0.6), rate=4)
+        c = g.add("clip", HardClip(), rate=4)
+        g.connect(o.output, c.input)
+        g.connect(c.output, "out", policy=policy)
+        return g.compile(48000.0, block_size=bs,
+                         mode="block").render_mono(2048)
+
+    np.testing.assert_array_equal(run(512), run(128))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_block_size_invariance(seed):
+    """Random graphs (oscillators, filters, envelopes, feedback delays,
+    events mid-stream): output must be bit-identical across block sizes."""
+    from tests.test_fuzz_graphs import _random_graph
+
+    def build():
+        rng = np.random.default_rng(1000 + seed)
+        return _random_graph(rng, int(rng.integers(3, 9)),
+                             with_events=True)
+
+    x = np.random.default_rng(7).standard_normal(1536).astype(
+        np.float32) * 0.3
+
+    def run(bs):
+        c = build().compile(48000.0, block_size=bs, mode="block")
+        out = []
+        pos = 0
+        while pos < 1536:
+            n = min(bs, 1536 - pos)
+            if pos <= 333 < pos + n:
+                c.queue_event("gate", 333 - pos, 0.9)
+            out.append(np.asarray(c.process_block(
+                n, stream_inputs={"x": x[pos:pos + n]})["out"]))
+            pos += n
+        return np.concatenate(out)
+
+    np.testing.assert_array_equal(run(512), run(192))
