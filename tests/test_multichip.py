@@ -132,3 +132,19 @@ def test_sharded_fm_synth(monkeypatch):
     a = run(False)
     np.testing.assert_allclose(a, b, atol=2e-5)
     assert np.abs(a).max() > 1e-3
+
+
+def test_sharded_steady_render():
+    """render_steady (the serving-path scan) composes with shard_map
+    execution: the whole multi-block span runs sharded in one dispatch."""
+    s = build_poly_synth(16).compile(48000.0, block_size=64, mode="block")
+    shard_compiled_state(s, voice_mesh(8))
+    for n in (48, 55, 60, 64):
+        s.queue_event("midi_in", 0, raw_midi_event([0x90, n, 100]))
+    s.process_block()  # consume events
+    out = s.render_steady(4)
+    a = np.asarray(out["audio_out"])
+    assert a.shape == (4 * 64,)
+    assert np.isfinite(a).all() and np.abs(a).max() > 0.01
+    ck = s.steady_checksum(4)
+    assert np.isfinite(ck) and ck > 0.0
