@@ -2,7 +2,15 @@
 
 The environment presets JAX_PLATFORMS=axon (one real TPU chip); tests run on
 CPU for determinism and so multi-chip sharding can be exercised on 8 virtual
-devices.  Must run before the first jax import.
+devices.
+
+A sitecustomize hook (gated on PALLAS_AXON_POOL_IPS) registers a remote TPU
+PJRT plugin at *interpreter start* — before this conftest runs — and that
+registration wins over any JAX_PLATFORMS we set here.  The preparse plugin
+``oscen_tpu/testing.py`` (loaded via pytest.ini addopts, before pytest's
+capture redirects fd 1) re-execs the test process with the hook dropped, so
+by the time this conftest runs the interpreter is hook-free; the env below
+is the belt-and-braces default for environments without the hook.
 """
 import os
 
