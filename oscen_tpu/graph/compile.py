@@ -866,8 +866,10 @@ class CompiledGraph:
             out = {}
             for name, sub in tree.items():
                 if name == "__fb__":
+                    # keys are "<node>.<endpoint>"; node names may contain
+                    # dots (flattened subgraphs), endpoint names never do
                     out[name] = {
-                        k: spec_state(k.split(".", 1)[0], v)
+                        k: spec_state(k.rsplit(".", 1)[0], v)
                         for k, v in sub.items()}
                 else:
                     out[name] = jax.tree_util.tree_map(
@@ -897,8 +899,10 @@ class CompiledGraph:
             if "f" not in cache:
                 st_specs = self._shard_specs(state, mesh, axis)
                 pb_specs = self._shard_specs(per_block, mesh, axis)
-                ev_specs = jax.tree_util.tree_map(
-                    lambda x: self._ev_spec(x, mesh, axis), ev_bufs)
+                ev_specs = {
+                    k: jax.tree_util.tree_map(
+                        lambda x, k=k: self._ev_spec(k, x, mesh, axis), v)
+                    for k, v in ev_bufs.items()}
                 # outputs: streams replicated after the psums (prefix
                 # spec covers the whole outs subtree)
                 out_specs = (st_specs, P())
@@ -910,13 +914,21 @@ class CompiledGraph:
 
         return call
 
-    def _ev_spec(self, x, mesh, axis):
+    def _ev_spec(self, key, x, mesh, axis):
+        """Spec for one event-buffer leaf, keyed by the owning
+        ``node.endpoint``: only buffers of node *arrays* shard their
+        leading (instance) axis — a scalar node's buffer whose capacity
+        happens to equal some array count must replicate, or events would
+        be silently dropped on most devices."""
         from jax.sharding import PartitionSpec as P
         D = mesh.devices.size
         x = jnp.asarray(x)
-        counts = {inst.count for inst in self.ir.nodes.values()
-                  if inst.count > 1}
-        if x.ndim >= 1 and x.shape[0] in counts and x.shape[0] % D == 0:
+        # key = "<node>.<endpoint>"; node names may themselves contain
+        # dots (flattened subgraphs), endpoint names never do
+        inst = self.ir.nodes.get(key.rsplit(".", 1)[0])
+        count = inst.count if inst is not None else 1
+        if count > 1 and count % D == 0 and x.ndim >= 1 \
+                and x.shape[0] == count:
             return P(axis, *([None] * (x.ndim - 1)))
         return P(*([None] * x.ndim))
 

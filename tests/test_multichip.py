@@ -148,3 +148,46 @@ def test_sharded_steady_render():
     assert np.isfinite(a).all() and np.abs(a).max() > 0.01
     ck = s.steady_checksum(4)
     assert np.isfinite(ck) and ck > 0.0
+
+
+def test_scalar_node_event_buffer_replicates():
+    """A *scalar* device node whose event-buffer capacity coincides with
+    the voice count must have its buffer replicated, not sliced along the
+    capacity axis (which would silently drop events on most devices).
+
+    8 gate events -> capacity rounds to 8 == the 8-voice array count; the
+    sharded render must still see every event on every device.
+    """
+    from oscen_tpu.graph.builder import Graph
+    from oscen_tpu.nodes.basic import Vca
+    from oscen_tpu.nodes.envelope import AdsrEnvelope
+    from oscen_tpu.nodes.oscillators import Oscillator
+
+    def build():
+        g = Graph("ScalarEnvVoices")
+        g.input("gate_in", "event")
+        g.output("audio_out", "stream")
+        oscs = g.add("oscs", Oscillator(frequency=220.0), count=8)
+        env = g.add("env", AdsrEnvelope(attack=0.001, decay=0.05,
+                                        sustain=0.6, release=0.1))
+        vca = g.add("vca", Vca())
+        g.connect("gate_in", env.gate)
+        g.connect(oscs.output, vca.input)   # fan-in sum over voices
+        g.connect(env.output, vca.control)
+        g.connect(vca.output, "audio_out")
+        return g
+
+    def run(shard):
+        s = build().compile(48000.0, block_size=64, mode="block")
+        if shard:
+            shard_compiled_state(s, voice_mesh(8))
+        for i in range(8):  # capacity rounds to 8 == voice count
+            s.queue_event("gate_in", i * 7, 0.5 + 0.05 * i)
+        out = [np.asarray(s.process_block()["audio_out"])
+               for _ in range(3)]
+        return np.concatenate(out)
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_allclose(a, b, atol=2e-6)
+    assert np.abs(a).max() > 0.01
