@@ -416,7 +416,7 @@ def make_block_fn(prog, block_len: int, shard=None):
                     node_d = ir.nodes[d].node
                     ins_p = gather_block(
                         d, only_eps=("delay_samples", "feedback"))
-                    delayed, dclamp, fbc = node_d.block_read(
+                    delayed, fbc = node_d.block_read(
                         new_state[d], ins_p, B)
                     env[(d, "output")] = delayed
                     stash[d] = (delayed, fbc)

@@ -118,11 +118,6 @@ class _Program:
 
         self._validate_host_placement()
 
-    def _setup_multirate(self):
-        self.multirate = True
-        # Validate: implemented in the sample-mode scheduler via per-sample
-        # inner unrolling (see _SampleStep); block mode falls back.
-
     def _validate_host_placement(self):
         for e in self.ir.edges:
             if e.dst_node in self.host_set:

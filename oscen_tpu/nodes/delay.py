@@ -56,17 +56,38 @@ class Delay(Node):
         return {"buf": buf, "write_pos": wp,
                 "frame_counter": jnp.int32(0)}
 
+    @staticmethod
+    def _clamp_cadence(update, delay_in, fb_in, cap):
+        """The reference clamps params only on update frames
+        (frame_counter == 0, every 32nd frame) and passes raw values
+        between updates (delay/mod.rs:47-55).  ``update`` may be a scalar
+        (tick) or a per-sample mask (block paths) — both replay the same
+        cadence so every mode agrees sample-for-sample."""
+        delay = jnp.where(update,
+                          jnp.clip(delay_in, 0.0, jnp.float32(cap - 1)),
+                          delay_in)
+        fb = jnp.where(update, jnp.clip(fb_in, 0.0, 0.99), fb_in)
+        return delay, fb
+
     def _effective_params(self, state, ins):
         cap = state["buf"].shape[-1]
-        update = state["frame_counter"] == 0
-        delay = jnp.where(update,
-                          jnp.clip(ins["delay_samples"], 0.0,
-                                   jnp.float32(cap - 1)),
-                          ins["delay_samples"])
-        fb = jnp.where(update, jnp.clip(ins["feedback"], 0.0, 0.99),
-                       ins["feedback"])
+        delay, fb = self._clamp_cadence(
+            state["frame_counter"] == 0, ins["delay_samples"],
+            ins["feedback"], cap)
         counter = (state["frame_counter"] + 1) % FRAMES_PER_UPDATE
         return delay, fb, counter
+
+    def _block_params(self, state, ins, block_len):
+        """Per-sample effective params for a whole block, replaying the
+        32-frame clamp cadence from the carried frame counter."""
+        offs = jnp.arange(block_len, dtype=jnp.int32)
+        update = (state["frame_counter"] + offs) % FRAMES_PER_UPDATE == 0
+        cap = state["buf"].shape[-1]
+        delay, fb = self._clamp_cadence(update, ins["delay_samples"],
+                                        ins["feedback"], cap)
+        if self.min_delay:
+            delay = jnp.maximum(delay, jnp.float32(self.min_delay))
+        return delay, fb
 
     def tick(self, state, ins, sr):
         delay, fb, counter = self._effective_params(state, ins)
@@ -88,16 +109,12 @@ class Delay(Node):
         """Whole-block delayed output from the carried ring buffer; valid
         only under the ``min_delay >= block+4`` promise."""
         import jax
-        cap = state["buf"].shape[-1]
-        delay = jnp.maximum(
-            jnp.clip(ins["delay_samples"], 0.0, jnp.float32(cap - 1)),
-            jnp.float32(self.min_delay))
-        fb = jnp.clip(ins["feedback"], 0.0, 0.99)
+        delay, fb = self._block_params(state, ins, block_len)
         offs = jnp.arange(block_len, dtype=jnp.int32)
         wps = state["write_pos"] + offs
         delayed = jax.vmap(
             lambda w, dd: rb_get(state["buf"], w, dd))(wps, delay)
-        return delayed, delay, fb
+        return delayed, fb
 
     def block_write(self, state, x, delayed, fb, block_len):
         """Push the whole block (``input + delayed * feedback``)."""
@@ -130,10 +147,7 @@ class Delay(Node):
         mask = cap - 1
 
         x = ins["input"]
-        delay_in = jnp.maximum(
-            jnp.clip(ins["delay_samples"], 0.0, jnp.float32(cap - 1)),
-            jnp.float32(self.min_delay))
-        fb_in = jnp.clip(ins["feedback"], 0.0, 0.99)
+        delay_in, fb_in = self._block_params(state, ins, B)
 
         def run_chunk(buf, wp, xi, d, f, n):
             offs = jnp.arange(n, dtype=jnp.int32)

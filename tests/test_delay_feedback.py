@@ -248,3 +248,32 @@ def test_echo_island_dissolution_matches_scan():
     c = g.compile(48000.0, block_size=512, mode="block")
     out = c.render_mono(1024, stream_inputs={"x": x[:1024]})
     assert np.isfinite(out).all()
+
+
+def test_out_of_range_params_clamp_cadence_mode_equivalence():
+    """The reference clamps delay/feedback only every 32nd frame and
+    passes raw values between updates (delay/mod.rs:47-55).  With
+    out-of-range params (feedback > 0.99, delay beyond the promise) the
+    chunked and dissolved block paths must replay that cadence and match
+    the per-sample scan exactly."""
+    def run(mode, min_delay, bs=256):
+        g = Graph("OOR")
+        g.input("x", "stream")
+        g.input("fb", "value", default=1.5)       # beyond the 0.99 clamp
+        g.input("dly", "value", default=90.0)
+        g.output("out", "stream")
+        d = g.add("d", Delay(90.0, 0.0, min_delay=min_delay))
+        g.connect("x", d.input)
+        g.connect("fb", d.feedback)
+        g.connect("dly", d.delay_samples)
+        g.connect(d.output, "out")
+        c = g.compile(48000.0, block_size=bs, mode=mode)
+        rng = np.random.default_rng(11)
+        x = (rng.standard_normal(1024) * 0.1).astype(np.float32)
+        return c.render_mono(1024, stream_inputs={"x": x})
+
+    a = run("sample", 0)
+    b = run("block", 64)     # chunked path
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    c = run("block", 0)      # scan fallback
+    np.testing.assert_array_equal(a, c)
