@@ -178,9 +178,15 @@ class HostNode(Node):
         return copy.deepcopy(self.__dict__)
 
     def restore_host_state(self, snapshot) -> None:
-        """Restore a snapshot taken by :meth:`host_state`."""
+        """Restore a snapshot taken by :meth:`host_state`.
+
+        Endpoint declarations (INPUTS/OUTPUTS) are structural config, not
+        runtime state — restoring them from an older build could corrupt
+        a live node, so they are excluded from the update."""
         import copy
-        self.__dict__.update(copy.deepcopy(snapshot))
+        snap = {k: v for k, v in snapshot.items()
+                if k not in ("INPUTS", "OUTPUTS")}
+        self.__dict__.update(copy.deepcopy(snap))
 
     def tick(self, state, ins, sr):  # pragma: no cover
         raise TypeError(f"{type(self).__name__} is a host-domain node")

@@ -77,6 +77,25 @@ class VoiceAllocator(HostNode):
             self._state[i].note = None
 
     # ------------------------------------------------------------------ #
+    def host_state(self):
+        """Only the mutable LRU tables — ``num_voices`` is constructor
+        config and is validated (not overwritten) on restore."""
+        import copy
+        return {"num_voices": self.num_voices,
+                "_state": copy.deepcopy(self._state),
+                "_age": self._age}
+
+    def restore_host_state(self, snapshot) -> None:
+        import copy
+        n = snapshot.get("num_voices", len(snapshot["_state"]))
+        if n != self.num_voices:
+            raise ValueError(
+                f"checkpointed allocator has {n} voices, this graph has "
+                f"{self.num_voices}")
+        self._state = copy.deepcopy(snapshot["_state"])
+        self._age = snapshot["_age"]
+
+    # ------------------------------------------------------------------ #
     def host_process(self, block_len, events_in, values_in):
         voices: List[List[EventInstance]] = [
             [] for _ in range(self.num_voices)]

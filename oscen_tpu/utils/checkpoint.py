@@ -62,6 +62,22 @@ def load_state(compiled, path: str) -> None:
             f"'{compiled.ir.name}'")
     if blob["sample_rate"] != compiled.sample_rate:
         raise ValueError("sample rate mismatch")
+    # structural validation: a checkpoint from a graph compiled with a
+    # different voice count / node config must error, not silently load
+    # wrong-shaped leaves
+    cur_struct = jax.tree_util.tree_structure(compiled.state)
+    new_struct = jax.tree_util.tree_structure(blob["state"])
+    if cur_struct != new_struct:
+        raise ValueError(
+            "checkpoint state tree does not match this compiled graph "
+            f"(saved {new_struct}, expected {cur_struct})")
+    for cur, new in zip(jax.tree_util.tree_leaves(compiled.state),
+                        jax.tree_util.tree_leaves(blob["state"])):
+        if np.shape(cur) != np.shape(new):
+            raise ValueError(
+                "checkpoint leaf shape mismatch "
+                f"({np.shape(new)} vs {np.shape(cur)}) — was the graph "
+                "compiled with a different voice count or block config?")
     compiled.state = jax.tree_util.tree_map(lambda x: x, blob["state"])
     for name, p in blob["params"].items():
         r = compiled._params.get(name)
@@ -75,6 +91,11 @@ def load_state(compiled, path: str) -> None:
         if name not in compiled.prog.host_set:
             continue
         insts = _host_node_instances(compiled, name)
+        if len(insts) != len(snapshots):
+            raise ValueError(
+                f"checkpoint has {len(snapshots)} snapshots for host "
+                f"node '{name}' but the graph has {len(insts)} "
+                "instances — voice counts must match")
         for inst, snap in zip(insts, snapshots):
             inst.restore_host_state(snap)
     if "pending_events" in blob:

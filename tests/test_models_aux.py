@@ -403,3 +403,33 @@ def test_dsl_nih_spec_fields_roundtrip():
     assert p.cutoff.smoother_ms == 50.0
     assert p.cutoff.unit == "Hz"
     assert p.mix.ramp_frames == 64
+
+
+def test_checkpoint_rejects_mismatched_config(tmp_path):
+    """Restoring into a graph compiled with a different voice count must
+    raise, not silently truncate/corrupt (checkpoint validation)."""
+    import pytest
+    from oscen_tpu.models.poly_synth import build_poly_synth
+    from oscen_tpu.utils.checkpoint import load_state, save_state
+    from oscen_tpu import raw_midi_event
+
+    path = str(tmp_path / "ck.pkl")
+    c8 = build_poly_synth(8).compile(48000.0, block_size=64)
+    c8.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
+    c8.process_block()
+    save_state(c8, path)
+
+    comp16 = build_poly_synth(16).compile(48000.0, block_size=64)
+    # same graph *name* so only the structural check can catch it
+    comp16.ir.name = c8.ir.name
+    with pytest.raises(ValueError):
+        load_state(comp16, path)
+
+    # INPUTS/OUTPUTS excluded from host-node restore: a tampered snapshot
+    # must not overwrite endpoint declarations
+    from oscen_tpu.nodes.midi import MidiVoiceHandler
+    h = MidiVoiceHandler()
+    snap = h.host_state()
+    snap["INPUTS"] = "garbage"
+    h.restore_host_state(snap)
+    assert h.INPUTS != "garbage"
