@@ -104,14 +104,20 @@ def main():
         diffs = sorted(span(n_large) - span(n_small) for _ in range(5))
         return max(diffs[2], 1e-9)
 
-    dt = min(window() for _ in range(3))
+    windows = sorted(window() for _ in range(3))
     frames = (n_large - n_small) * BLOCK
-    rtf = (frames / SR) / dt  # x real time
+    rtf = (frames / SR) / windows[0]          # best window (capability)
+    rtf_median = (frames / SR) / windows[1]   # median window (typical)
     result = {
         "metric": f"{model}_{NUM_VOICES}v_rtf_48k",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 1000.0, 4),
+        # both views so consumers can see typical vs capability rather
+        # than only the optimistic number (chip clock state drifts on
+        # multi-second scales; the windows bound the range)
+        "median_window": round(rtf_median, 2),
+        "us_per_block": round(windows[0] / (n_large - n_small) * 1e6, 2),
     }
     print(json.dumps(result))
 
