@@ -437,11 +437,24 @@ def make_block_fn(prog, block_len: int, shard=None):
                     raise NotImplementedError(
                         "voice-sharded execution does not support node "
                         "arrays inside feedback scan islands")
-                if any(ir.nodes[n].rate != 1 for n in island):
+                # Oversampled islands: a feedback cycle living entirely
+                # inside a ``* N`` region scans at the inner rate (B·N
+                # ticks), exactly the reference's inner loop running any
+                # island node — including an AllowsFeedback Delay — per
+                # inner tick (emit_frame.rs:114-176).  External inputs
+                # arrive through their cross-rate boundary kernels (the
+                # ext_inputs pre-pass below), event offsets are already
+                # inner-scaled by the host prepass, and the __fb__ carry
+                # advances one *inner* sample.  Cycles spanning the rate
+                # boundary itself remain rejected (the reference's
+                # taint/diamond restrictions, emit_node.rs:516-584).
+                isl_rates = {ir.nodes[n].rate for n in island}
+                if len(isl_rates) > 1:
                     raise NotImplementedError(
-                        "oversampled nodes inside feedback islands are "
+                        "feedback islands spanning a rate boundary are "
                         "unsupported (the reference similarly restricts "
-                        "multirate/feedback interactions)")
+                        "cross-rate feedback)")
+                Bn_isl = B * isl_rates.pop()
 
                 # inputs feeding the island from outside: evaluate whole
                 # blocks now (fully fanout-normalized), slice per sample
@@ -582,7 +595,7 @@ def make_block_fn(prog, block_len: int, shard=None):
 
                 # ext blocks already have time leading for the scan xs
                 ext_scan = ext_inputs
-                ts = jnp.arange(B, dtype=jnp.int32)
+                ts = jnp.arange(Bn_isl, dtype=jnp.int32)
                 (island_state,), outs_t = jax.lax.scan(
                     island_step, (island_state,), (ts, ext_scan))
                 for n in island:
@@ -597,13 +610,14 @@ def make_block_fn(prog, block_len: int, shard=None):
                     env[(n, k)] = v
 
         # refresh cross-island feedback carries: last sample of the block
+        # (at the producing node's own rate)
         for (n, epn) in prog.fb_keys:
             v = env.get((n, epn))
             if v is None:
                 continue
             taxis = 1 if node_count(n) > 1 else 0
             fb[f"{n}.{epn}"] = jax.lax.index_in_dim(
-                v, B - 1, axis=taxis, keepdims=False)
+                v, B * ir.nodes[n].rate - 1, axis=taxis, keepdims=False)
         new_state["__fb__"] = fb
 
         # graph outputs

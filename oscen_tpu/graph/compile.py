@@ -594,16 +594,35 @@ class CompiledGraph:
                                         graph_rate=self.sample_rate)
         for (_, node_name, endpoint) in bindings:
             inst = self.ir.nodes[node_name]
-            if inst.count > 1:
-                raise NotImplementedError(
-                    "asset bindings into node arrays are unsupported")
             node = inst.node
             consume = getattr(node, "asset_consume", None)
             if consume is None:
                 raise AssetError(
                     f"node '{node_name}' has no asset consumer")
-            self.state[node_name] = consume(
-                self.state[node_name], a, self.prog.scaled_sr(inst))
+            sr = self.prog.scaled_sr(inst)
+            if inst.count > 1:
+                # one published asset broadcast into every instance's
+                # state slot (reference asset wiring is generic over
+                # nodes, asset/mod.rs:309-320 / emit_struct.rs:434-464):
+                # consume once, then broadcast the asset-derived leaves
+                # across the instance axis; per-instance leaves that the
+                # consumer left untouched keep their per-voice values.
+                st = self.state[node_name]
+                first = jax.tree_util.tree_map(lambda x: x[0], st)
+                new_first = consume(first, a, sr)
+                cnt = inst.count
+
+                def merge(old_stacked, old_first, new_leaf):
+                    if new_leaf is old_first:   # untouched by consume
+                        return old_stacked
+                    return jnp.broadcast_to(
+                        jnp.asarray(new_leaf)[None],
+                        (cnt,) + jnp.shape(new_leaf))
+                self.state[node_name] = jax.tree_util.tree_map(
+                    merge, st, first, new_first)
+            else:
+                self.state[node_name] = consume(
+                    self.state[node_name], a, sr)
 
     def load_wav(self, external: str, path: str) -> None:
         """Decode + conform + publish (reference AssetLoadHandle::load_wav,

@@ -264,3 +264,38 @@ def test_convolver_swap_within_capacity_does_not_retrace():
                     for v in jax.tree_util.tree_leaves(c.state)]
     assert before_shapes == after_shapes
     c.render_mono(256)
+
+
+def test_sample_player_array_shares_one_asset():
+    """[SamplePlayer; 8] bound to ONE external: publish broadcasts the
+    asset into every instance's state slot (reference asset wiring is
+    generic over nodes, asset/mod.rs:309-320), per-voice playheads stay
+    independent, and the swap causes no retrace."""
+    g = Graph("SPArr")
+    g.output("out", "stream")
+    g.external("buf")
+    sp = g.add("sp", SamplePlayer(capacity=64), count=8)
+    g.connect("buf", sp.buf)
+    g.connect(sp.output, "out")   # fan-in sum over the 8 players
+    c = g.compile(48000.0, block_size=32)
+    out = c.render_mono(32)
+    np.testing.assert_array_equal(out, 0.0)
+
+    data = np.arange(10, dtype=np.float32) / 10.0
+    c.publish_asset("buf", AudioAsset.from_samples(data, 48000))
+    out = c.render_mono(25)
+    # 8 identical players in phase -> 8x the mono loop
+    np.testing.assert_allclose(out, 8.0 * np.tile(data, 3)[:25],
+                               atol=1e-5)
+    # swap mid-run: playheads hard-reset on every instance
+    data2 = -data
+    c.publish_asset("buf", AudioAsset.from_samples(data2, 48000))
+    out = c.render_mono(10)
+    np.testing.assert_allclose(out, 8.0 * data2, atol=1e-5)
+    # a further swap + same-length render must not retrace
+    base = sum(fn._cache_size() for fn in c._block_fn_cache.values())
+    c.publish_asset("buf", AudioAsset.from_samples(data, 48000))
+    out = c.render_mono(10)
+    np.testing.assert_allclose(out, 8.0 * data, atol=1e-5)
+    assert sum(fn._cache_size()
+               for fn in c._block_fn_cache.values()) == base, "retrace!"

@@ -255,3 +255,77 @@ def test_oversampled_arrays_modes_agree():
         return g.compile(48000.0, 128, mode=mode).render_mono(512)
     a, b = run("sample"), run("block")
     assert np.sqrt(np.mean((a - b) ** 2)) < 1e-3
+
+
+def test_oversampled_feedback_island_block_mode():
+    """A feedback cycle living entirely inside a 2x region (mix -> clip
+    -> delay -> back) runs in block mode as an inner-rate island scan and
+    matches sample mode (the reference's inner loop runs island nodes per
+    inner tick, emit_frame.rs:114-176)."""
+    from oscen_tpu.nodes.basic import Mixer
+    from oscen_tpu.nodes.delay import Delay
+
+    def run(mode, bs):
+        g = Graph("SatEcho2x")
+        g.input("x", "stream")
+        g.output("out", "stream")
+        mix = g.add("mix", Mixer(), rate=2)
+        clip = g.add("clip", HardClip(), rate=2)
+        d = g.add("d", Delay(97.0, 0.45), rate=2)
+        g.connect("x", mix.input_a, policy="sinc")
+        g.connect(mix.output, clip.input)
+        g.connect(clip.output, d.input)
+        g.connect(d.output, mix.input_b, feedback=True)
+        g.connect(clip.output, "out", policy="sinc")
+        c = g.compile(48000.0, block_size=bs, mode=mode)
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal(512) * 0.4).astype(np.float32)
+        return c.render_mono(512, stream_inputs={"x": x})
+
+    a = run("sample", 128)
+    b = run("block", 128)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert np.abs(a).max() > 0.01
+    # block-size invariance of the inner-rate island scan
+    c = run("block", 64)
+    np.testing.assert_array_equal(b, c)
+
+
+def test_oversampled_feedback_island_with_events():
+    """Mid-block events reaching an oversampled island node land on the
+    inner timeline (offsets pre-scaled by the host prepass)."""
+    from oscen_tpu.nodes.basic import Mixer
+    from oscen_tpu.nodes.delay import Delay
+    from oscen_tpu.nodes.envelope import AdsrEnvelope
+    from oscen_tpu.nodes.basic import Vca
+
+    def run(mode):
+        g = Graph("EnvEcho2x")
+        g.input("x", "stream")
+        g.input("gate", "event")
+        g.output("out", "stream")
+        env = g.add("env", AdsrEnvelope(attack=0.002, decay=0.05,
+                                        sustain=0.5, release=0.1), rate=2)
+        vca = g.add("vca", Vca(), rate=2)
+        d = g.add("d", Delay(61.0, 0.4), rate=2)
+        mix = g.add("mix", Mixer(), rate=2)
+        g.connect("x", vca.input, policy="sinc")
+        g.connect("gate", env.gate)
+        g.connect(env.output, vca.control)
+        g.connect(vca.output, mix.input_a)
+        g.connect(mix.output, d.input)
+        g.connect(d.output, mix.input_b, feedback=True)
+        g.connect(mix.output, "out", policy="sinc")
+        c = g.compile(48000.0, block_size=128, mode=mode)
+        rng = np.random.default_rng(6)
+        x = (rng.standard_normal(384) * 0.3).astype(np.float32)
+        c.queue_event("gate", 37, 0.9)
+        out = [np.asarray(c.process_block(
+            stream_inputs={"x": x[i * 128:(i + 1) * 128]})["out"])
+            for i in range(3)]
+        return np.concatenate(out)
+
+    a = run("sample")
+    b = run("block")
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert np.abs(a).max() > 0.001
