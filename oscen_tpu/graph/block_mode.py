@@ -190,6 +190,14 @@ def make_block_fn(prog, block_len: int, shard=None):
     def node_count(name: str) -> int:
         return ir.nodes[name].count
 
+    def _local_default(inst, ep):
+        """Per-sample default value sized to the *local* (per-device)
+        instance count for island scans under shard_map."""
+        v = prog._default_value(inst, ep)
+        if shard_axis is not None and inst.count > 1:
+            v = v[:eff(inst.count)]
+        return v
+
     # ---- island dissolution plans ------------------------------------ #
     # A feedback island whose every cycle passes through a Delay with a
     # static ``min_delay >= B + 4`` promise dissolves into acyclic block
@@ -432,11 +440,10 @@ def make_block_fn(prog, block_len: int, shard=None):
                 # ---- scan island: per-sample over the component -------
                 island = comp
                 island_set = set(island)
-                if shard_axis is not None and any(
-                        ir.nodes[n].count > 1 for n in island):
-                    raise NotImplementedError(
-                        "voice-sharded execution does not support node "
-                        "arrays inside feedback scan islands")
+                # Node arrays inside scan islands shard fine: islands are
+                # voice-independent along the array axis (per-voice
+                # cycles scan locally per shard); only full fan-in sums
+                # inside the island need a psum per tick.
                 # Oversampled islands: a feedback cycle living entirely
                 # inside a ``* N`` region scans at the inner rate (B·N
                 # ticks), exactly the reference's inner loop running any
@@ -545,23 +552,28 @@ def make_block_fn(prog, block_len: int, shard=None):
                                     if e.fanout == Fanout.FAN_IN \
                                             and e.dst_index is None:
                                         v = jnp.sum(v, axis=0)
+                                        if any(ir.nodes[r.node].count > 1
+                                               for r in
+                                               e.source.endpoints()
+                                               if r.node in ir.nodes):
+                                            v = _psum(v)
                                     if inst.count > 1 \
                                             and e.dst_index is None \
                                             and e.fanout in (
                                                 Fanout.SCALAR,
                                                 Fanout.BROADCAST):
                                         v = prog._broadcast_to_count(
-                                            v, inst.count, ep)
+                                            v, eff(inst.count), ep)
                                 if e.dst_index is not None:
                                     base = val if val is not None else \
-                                        prog._default_value(inst, ep)
+                                        _local_default(inst, ep)
                                     val = base.at[e.dst_index].set(v)
                                 elif val is None:
                                     val = v
                                 else:
                                     val = val + v
                             if val is None:
-                                val = prog._default_value(inst, ep)
+                                val = _local_default(inst, ep)
                             ins[ep.name] = val
                         st = new_ist[name]
                         for ep in node.INPUTS:

@@ -191,3 +191,56 @@ def test_scalar_node_event_buffer_replicates():
     b = run(True)
     np.testing.assert_allclose(a, b, atol=2e-6)
     assert np.abs(a).max() > 0.01
+
+
+def test_sharded_voice_feedback_island():
+    """Per-voice feedback cycles (osc -> mix -> delay -> back, all
+    16-instance arrays) form a scan island that shards over the mesh:
+    each device scans its local voice shard, the final fan-in mixdown
+    psums.  Sharded must match unsharded."""
+    from oscen_tpu.graph.builder import Graph
+    from oscen_tpu.nodes.basic import Mixer
+    from oscen_tpu.nodes.delay import Delay
+    from oscen_tpu.nodes.midi import MidiParser, MidiVoiceHandler
+    from oscen_tpu.nodes.oscillators import Oscillator
+    from oscen_tpu.nodes.voice_allocator import VoiceAllocator
+
+    def build():
+        g = Graph("VoiceEcho")
+        g.input("midi_in", "event")
+        g.output("audio_out", "stream")
+        parser = g.add("parser", MidiParser())
+        alloc = g.add("alloc", VoiceAllocator(16))
+        handlers = g.add("handlers", MidiVoiceHandler(), count=16)
+        oscs = g.add("oscs", Oscillator(frequency=220.0), count=16)
+        mix = g.add("mix", Mixer(), count=16)
+        d = g.add("d", Delay(50.0, 0.0), count=16)
+        g.connect("midi_in", parser.midi_in)
+        g.connect(parser.note_on, alloc.note_on)
+        g.connect(parser.note_off, alloc.note_off)
+        g.connect(alloc.voices, handlers.note_on)
+        g.connect(handlers.frequency, oscs.frequency)
+        g.connect(oscs.output, mix.input_a)
+        g.connect(mix.output, d.input)
+        g.connect(d.output, mix.input_b, feedback=True)
+        g.connect(d.output, "audio_out")  # fan-in over voices
+        return g
+
+    def run(shard):
+        s = build().compile(48000.0, block_size=64, mode="block")
+        if shard:
+            shard_compiled_state(s, voice_mesh(8))
+        for i, note in enumerate((48, 52, 55, 59, 60, 64, 67, 71,
+                                  43, 45, 47, 50, 53, 57, 62, 65)):
+            s.queue_event("midi_in", i % 5,
+                          raw_midi_event([0x90, note, 100]))
+        out = [np.asarray(s.process_block()["audio_out"])
+               for _ in range(4)]
+        return np.concatenate(out)
+
+    a = run(False)
+    b = run(True)
+    # psum reassociates the 16-way mixdown into 8 partial sums: only
+    # float-reassociation noise is tolerated (~2e-7 relative)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-6)
+    assert np.abs(a).max() > 0.05
