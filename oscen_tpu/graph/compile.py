@@ -532,6 +532,13 @@ class CompiledGraph:
 
         self.state = self.prog.init_device_state()
         self._block_fn_cache: Dict[Any, Any] = {}
+        # steady-state staging cache: when the control plane is idle (no
+        # pending events, no param changes, no active ramps) the host
+        # prepass and per-block staging are reproducible block-to-block —
+        # reuse them so a steady block is ONE cached jit call (the
+        # per-block Python staging otherwise bounds streaming throughput)
+        self._staging_cache: Dict[int, Any] = {}
+        self._control_dirty = True
 
     # ------------------------------------------------------------------ #
     def init(self, sample_rate: Optional[float] = None) -> None:
@@ -544,6 +551,8 @@ class CompiledGraph:
             self._step = _SampleStep(self.prog)
             self._block_fn_cache.clear()
         self.state = self.prog.init_device_state()
+        self._control_dirty = True
+        self._staging_cache.clear()
         for name in self.prog.host_nodes:
             self.ir.nodes[name].node.reset()
             for n in self.prog.host_instances.get(name, []):
@@ -557,20 +566,24 @@ class CompiledGraph:
     def set_value(self, name: str, v: float) -> None:
         spec = self.ir.get_input(name).spec
         frames = spec.ramp_frames if spec else 0
+        self._control_dirty = True
         if frames:
             self._params[name].set_with_ramp(v, frames)
         else:
             self._params[name].set_immediate(v)
 
     def set_value_immediate(self, name: str, v: float) -> None:
+        self._control_dirty = True
         self._params[name].set_immediate(v)
 
     def set_value_with_ramp(self, name: str, v: float, frames: int) -> None:
+        self._control_dirty = True
         self._params[name].set_with_ramp(v, frames)
 
     def queue_event(self, name: str, frame_offset: int, payload) -> None:
         if name not in self._event_queues:
             raise KeyError(f"'{name}' is not an event input")
+        self._control_dirty = True
         self._event_queues[name].append(
             EventInstance(int(frame_offset), payload))
 
@@ -587,6 +600,7 @@ class CompiledGraph:
         bindings = [b for b in self.ir.asset_bindings if b[0] == external]
         if not bindings:
             raise KeyError(f"unknown external asset '{external}'")
+        self._control_dirty = True
         if not isinstance(a, AudioAsset):
             raise AssetError("publish_asset expects an AudioAsset")
         if a.sample_rate != int(self.sample_rate):
@@ -854,6 +868,8 @@ class CompiledGraph:
             raise ValueError("sharded execution requires block mode")
         self._shard = (mesh, axis_name)
         self._block_fn_cache.clear()
+        self._staging_cache.clear()
+        self._control_dirty = True
 
     def _shard_specs(self, tree, mesh, axis):
         """Per-leaf PartitionSpecs: leading-instance-axis leaves of node
@@ -947,11 +963,29 @@ class CompiledGraph:
         return P(*([None] * x.ndim))
 
     # ------------------------------------------------------------------ #
+    def _control_steady(self) -> bool:
+        """True when block-to-block staging is reproducible: no pending
+        control changes, no active ramps, and every host node declares
+        itself event-driven (``HOST_STEADY``)."""
+        if self._control_dirty:
+            return False
+        if any(r.frames_remaining > 0 for r in self._params.values()):
+            return False
+        return all(
+            getattr(self.ir.nodes[n].node, "HOST_STEADY", False)
+            for n in self.prog.host_nodes)
+
     def process_block(self, block_len: Optional[int] = None,
                       stream_inputs: Optional[Dict[str, Any]] = None
                       ) -> Dict[str, jnp.ndarray]:
         """Advance one block; returns {output name: [B(,C)] array}."""
         B = int(block_len or self.block_size)
+        steady = stream_inputs is None and self._control_steady()
+        if steady and B in self._staging_cache:
+            per_block, ev_bufs, fn = self._staging_cache[B]
+            self.state, outs = fn(self.state, per_block, ev_bufs)
+            return dict(outs)
+        self._control_dirty = False  # staging below consumes everything
         ev_bufs, host_vals = self._host_prepass(B)
 
         per_block: Dict[str, Any] = {}
@@ -977,6 +1011,11 @@ class CompiledGraph:
         ev_caps = tuple(sorted((k, v.capacity)
                                for k, v in ev_bufs.items()))
         fn = self._get_block_fn(B, ev_caps, tuple(sorted(per_block)))
+        if steady:
+            # this block's staging was clean-entry, so it reproduces
+            # verbatim until the next control change: cache it (device
+            # arrays stay resident — a steady block becomes one jit call)
+            self._staging_cache = {B: (per_block, ev_bufs, fn)}
         self.state, outs = fn(self.state, per_block, ev_bufs)
         outs = dict(outs)
         outs.update(getattr(self, "_last_event_outs", {}))

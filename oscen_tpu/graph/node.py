@@ -154,6 +154,13 @@ class HostNode(Node):
 
     HOST = True
 
+    # Event-driven contract: outputs change only in response to input
+    # events / value changes — absent both, a block's outputs reproduce
+    # verbatim.  CompiledGraph uses this to cache steady-state staging
+    # (one jit call per idle block).  Set False on a host node whose
+    # outputs vary with time regardless of inputs.
+    HOST_STEADY = True
+
     def host_process(self, block_len: int,
                      events_in: Dict[str, List[EventInstance]],
                      values_in: Dict[str, float],
