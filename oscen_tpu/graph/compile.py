@@ -1016,6 +1016,10 @@ class CompiledGraph:
             # verbatim until the next control change: cache it (device
             # arrays stay resident — a steady block becomes one jit call)
             self._staging_cache = {B: (per_block, ev_bufs, fn)}
+        else:
+            # events/param changes just altered host-node outputs — any
+            # previously cached staging is stale now
+            self._staging_cache = {}
         self.state, outs = fn(self.state, per_block, ev_bufs)
         outs = dict(outs)
         outs.update(getattr(self, "_last_event_outs", {}))

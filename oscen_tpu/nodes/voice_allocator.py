@@ -21,13 +21,14 @@ MAX_VOICES = 4096  # reference caps at 24 (voice_allocator.rs:5); the TPU
 
 
 class _VoiceState:
-    __slots__ = ("active", "released", "note", "age")
+    __slots__ = ("active", "released", "note", "age", "released_at")
 
     def __init__(self):
         self.active = False
         self.released = False
         self.note = None
         self.age = 0
+        self.released_at = None  # frame clock at release (for busy())
 
 
 class VoiceAllocator(HostNode):
@@ -43,6 +44,7 @@ class VoiceAllocator(HostNode):
     def reset(self):
         self._state = [_VoiceState() for _ in range(self.num_voices)]
         self._age = 0
+        self._frames = 0  # block-resolution frame clock
 
     # ------------------------------------------------------------------ #
     def allocate_voice(self, note: int) -> int:
@@ -52,6 +54,7 @@ class VoiceAllocator(HostNode):
             if not v.active:
                 v.active, v.released, v.note, v.age = True, False, note, \
                     self._age
+                v.released_at = None
                 self._age += 1
                 return i
         stolen = min(
@@ -60,6 +63,7 @@ class VoiceAllocator(HostNode):
                            self._state[i].age))
         v = self._state[stolen]
         v.active, v.released, v.note, v.age = True, False, note, self._age
+        v.released_at = None
         self._age += 1
         return stolen
 
@@ -75,6 +79,7 @@ class VoiceAllocator(HostNode):
         if 0 <= i < self.num_voices:
             self._state[i].released = True
             self._state[i].note = None
+            self._state[i].released_at = self._frames
 
     # ------------------------------------------------------------------ #
     def host_state(self):
@@ -83,7 +88,7 @@ class VoiceAllocator(HostNode):
         import copy
         return {"num_voices": self.num_voices,
                 "_state": copy.deepcopy(self._state),
-                "_age": self._age}
+                "_age": self._age, "_frames": self._frames}
 
     def restore_host_state(self, snapshot) -> None:
         import copy
@@ -94,6 +99,7 @@ class VoiceAllocator(HostNode):
                 f"{self.num_voices}")
         self._state = copy.deepcopy(snapshot["_state"])
         self._age = snapshot["_age"]
+        self._frames = snapshot.get("_frames", 0)
 
     # ------------------------------------------------------------------ #
     def host_process(self, block_len, events_in, values_in):
@@ -114,4 +120,30 @@ class VoiceAllocator(HostNode):
                 if idx is not None:
                     voices[idx].append(ev)
                     self.release_voice(idx)
+        self._frames += int(block_len)
         return {"voices": voices}, {}
+
+    # ------------------------------------------------------------------ #
+    # conservative voice-activity classes (utils/voice_classes.py)
+    # ------------------------------------------------------------------ #
+    def busy_mask(self, tail_frames: int) -> List[bool]:
+        """Per-voice conservative liveness: a voice is busy while holding
+        a note, and for ``tail_frames`` after its release (the worst-case
+        release tail).  Needs no device sync — everything is host-side
+        control state (the reference keeps released voices "active" until
+        stolen for the same reason, voice_allocator.rs:101-107)."""
+        out = []
+        for v in self._state:
+            if not v.active:
+                out.append(False)
+            elif not v.released or v.released_at is None:
+                out.append(True)
+            else:
+                out.append(self._frames - v.released_at < tail_frames)
+        return out
+
+    def permute(self, perm: List[int]) -> None:
+        """Reorder voice slots (class-switch compaction); ``perm[i]`` is
+        the old index now living at slot i."""
+        assert sorted(perm) == list(range(self.num_voices))
+        self._state = [self._state[p] for p in perm]

@@ -65,3 +65,35 @@ def test_asset_hot_swap_does_not_retrace():
             np.full(10, 0.5 * (k + 1), np.float32), 48000))
         c.process_block(stream_inputs={"x": x})
     assert _total_cache_size(c) == base
+
+
+def test_staging_cache_refreshes_after_events():
+    """steady -> event -> steady: the post-event steady blocks must see
+    the event's effect on host-node outputs (a stale staging cache once
+    kept serving pre-event handler frequencies)."""
+    import jax
+    from oscen_tpu.models.electric_piano import build_electric_piano
+    from oscen_tpu import raw_midi_event
+
+    def run(warm_steady):
+        c = build_electric_piano(8).compile(48000.0, block_size=128,
+                                            mode="block")
+        c.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
+        c.process_block()
+        if warm_steady:           # populate the staging cache
+            for _ in range(3):
+                c.process_block()
+        else:
+            for _ in range(3):
+                c.queue_event("midi_in", 0,
+                              raw_midi_event([0xA0, 0, 0]))  # dirty, noop
+                c.process_block()
+        # the event that must invalidate any cached staging
+        c.queue_event("midi_in", 0, raw_midi_event([0x90, 45, 100]))
+        c.process_block()
+        return np.concatenate([np.asarray(c.process_block()["out"])
+                               for _ in range(3)])
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_array_equal(a, b)

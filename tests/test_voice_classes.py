@@ -1,0 +1,66 @@
+"""Conservative voice-capacity classes: correctness across switches.
+
+The VoiceClassHost must produce (within the chosen release-tail
+audibility threshold) the same audio as the full-capacity graph, while
+actually switching capacity classes as load changes.
+"""
+
+import numpy as np
+
+from oscen_tpu import raw_midi_event
+from oscen_tpu.models.electric_piano import build_electric_piano
+from oscen_tpu.utils.voice_classes import VoiceClassHost
+
+SR = 48000.0
+B = 512
+
+
+def _schedule(target, blocks):
+    """Play 4 notes, release them, wait out the tail, then strike 12."""
+    out = []
+    for i in range(blocks):
+        evs = []
+        if i == 0:
+            evs = [[0x90, 60 + j, 100] for j in range(4)]
+        elif i == 3:
+            evs = [[0x80, 60 + j, 0] for j in range(4)]
+        elif i == blocks - 8:
+            evs = [[0x90, 40 + j, 90] for j in range(12)]
+        for e in evs:
+            target.queue_event("midi_in", 0, raw_midi_event(e))
+        out.append(np.asarray(target.process_block()["out"]))
+    return np.concatenate(out)
+
+
+def test_voice_classes_match_full_capacity():
+    blocks = 40
+    ref = build_electric_piano(16).compile(SR, block_size=B, mode="block")
+    a = _schedule(ref, blocks)
+
+    vc = VoiceClassHost(build_electric_piano, capacities=(8, 16),
+                        sample_rate=SR, block_size=B, mode="block",
+                        tail_seconds=0.25)
+    b = _schedule(vc, blocks)
+
+    assert vc.switches >= 2, "expected down- and up-switches"
+    assert np.abs(a).max() > 0.01
+    # residual difference = dropped sub-audible release tails
+    assert np.abs(a - b).max() < 2e-3, np.abs(a - b).max()
+
+
+def test_voice_classes_steal_semantics_preserved():
+    """Striking more notes than the small class can hold up-switches
+    BEFORE the block, so no premature stealing happens."""
+    vc = VoiceClassHost(build_electric_piano, capacities=(4, 16),
+                        sample_rate=SR, block_size=B, mode="block",
+                        tail_seconds=0.1)
+    # force a down-switch to 4 first
+    vc.process_block()
+    assert vc.active_cap == 4
+    for j in range(10):
+        vc.queue_event("midi_in", 0, raw_midi_event([0x90, 50 + j, 100]))
+    out = np.asarray(vc.process_block()["out"])
+    assert vc.active_cap == 16
+    alloc = vc._alloc(16)
+    assert sum(alloc.busy_mask(10**9)) == 10  # all ten voices live
+    assert np.isfinite(out).all()
