@@ -56,11 +56,20 @@ class ValueRampState:
         Sample ``t`` holds the value after the ``t+1``-th tick — the value a
         node reads at that sample in the reference's schedule (ramps tick at
         the top of ``__advance_one_frame``, codegen/mod.rs:906-913).
+
+        An idle ramp returns a LENGTH-1 array: the staged value enters the
+        jitted block function as a [1]-shaped operand that edge
+        normalization broadcasts lazily, so XLA treats constant parameters
+        as constants (a connected-but-idle parameter otherwise inflates
+        whole-block math — measured +33 µs/block on the 256-voice pivot
+        from its ~25 broadcast [B]-param arrays).  Indexed reads clamp
+        (jnp.take mode="clip"), so offset-based consumers are unaffected.
+        The [1] vs [B] shape is part of the jit key: a parameter that
+        ramps retraces once, then both variants stay cached.
         """
-        out = np.empty((block_len,), np.float32)
         if self.frames_remaining == 0:
-            out[:] = self.current
-            return out
+            return np.full((1,), self.current, np.float32)
+        out = np.empty((block_len,), np.float32)
         for t in range(block_len):
             self.tick()
             out[t] = self.current

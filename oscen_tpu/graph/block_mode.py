@@ -247,6 +247,16 @@ def make_block_fn(prog, block_len: int, shard=None):
 
     # ------------------------------------------------------------------ #
     def block_fn(state, per_block, ev_bufs):
+        # idle params stage as [1] arrays (ValueRampState.materialize_
+        # block): broadcast to the full time axis here so every consumer
+        # sees the usual [B] shape while XLA still proves the values
+        # block-constant (broadcast-of-scalar) — connected-but-idle
+        # params then fold like unconnected defaults instead of
+        # inflating whole-block math
+        per_block = {
+            k: (jnp.broadcast_to(v, (B,) + v.shape[1:])
+                if jnp.ndim(v) >= 1 and v.shape[0] == 1 and B != 1 else v)
+            for k, v in per_block.items()}
         env: Dict[Tuple[str, str], Any] = {}
         new_state = dict(state)
         fb = dict(state["__fb__"])

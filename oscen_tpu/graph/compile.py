@@ -833,6 +833,13 @@ class CompiledGraph:
 
         def block_fn(state, per_block, ev_bufs):
             ts = jnp.arange(block_len, dtype=jnp.int32)
+            # idle params stage as [1] arrays (materialize_block); the
+            # per-sample scan needs a full leading time axis
+            per_block = {
+                k: jnp.broadcast_to(v, (block_len,) + v.shape[1:])
+                if v.ndim >= 1 and v.shape[0] == 1 and block_len != 1
+                else v
+                for k, v in per_block.items()}
 
             def body(carry, xs):
                 t, ps = xs

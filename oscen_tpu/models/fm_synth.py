@@ -58,7 +58,9 @@ class FmOperatorChain(Node):
         from ..ops.fastmath import sin_turns
 
         def op(phase, prev, pm, env, ratio, fb, lvl):
-            y = sin_turns(phase + pm + prev * fb) * env * lvl
+            # sin·(env·lvl): the same association the fused kernel uses
+            # (levels folded into env streams) — keeps parity bit-exact
+            y = sin_turns(phase + pm + prev * fb) * (env * lvl)
             phase = phase + f * ratio / sr.hz
             return phase - jnp.trunc(phase), y
 

@@ -21,23 +21,32 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# odd polynomial coefficients for sin(2*pi*w), w in [-1/2, 1/2]
-# (least-squares fit on a 2e5-point grid; f32 max error 7.2e-7)
+# odd degree-9 polynomial coefficients for sin(2*pi*w), w in [-1/2, 1/2]
+# (equal-ripple fit on a 4e5-point grid; f32 max error 1.38e-5 ≈ -97 dB
+# distortion — the stated error budget for the FM operator sine, traded
+# for one fewer FMA on the dependent per-sample path of the chain
+# kernels; the previous degree-11 fit sat at 7.2e-7 ≈ -123 dB)
 SIN_TURNS_COEFFS = (
-    6.283183466429965,
-    -41.34148036162201,
-    81.59765802236377,
-    -76.59492980411942,
-    41.269936976190934,
-    -12.372507210814303,
+    6.283080764252614,
+    -41.33275295303292,
+    81.39177500890156,
+    -74.62526956566208,
+    33.06713168909331,
 )
 
 
 def sin_turns(x):
-    """``sin(2*pi*x)`` for ``x`` in turns (cycles), any magnitude."""
+    """``sin(2*pi*x)`` for ``x`` in turns (cycles), any magnitude.
+
+    The SAME polynomial is the operator sine on every path (tick, Pallas
+    kernels, CPU fallbacks) — feedback FM amplifies any per-sample sine
+    difference chaotically, so block==sample parity requires one shared
+    definition; reference parity is inherently chaotic-sensitive for
+    deep feedback regardless of which correctly-rounded sine is used.
+    """
     w = x - jnp.round(x)
     u = w * w
-    acc = jnp.float32(SIN_TURNS_COEFFS[5])
-    for k in (4, 3, 2, 1, 0):
+    acc = jnp.float32(SIN_TURNS_COEFFS[4])
+    for k in (3, 2, 1, 0):
         acc = acc * u + jnp.float32(SIN_TURNS_COEFFS[k])
     return acc * w

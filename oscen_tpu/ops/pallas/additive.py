@@ -53,14 +53,14 @@ INTERP = 64.0
 _UNROLL = 8  # minimum block-length granularity for the fused kernel
 
 # v3 (default): v2 structure with the amp plane-selects folded into two
-# FMAs against precomputed delta planes (measured best: ~19.9 µs/block vs
-# v2's 20.6 at 256 voices / B=1024).
-# v4: whole-block closed-form row tables gathered per subgroup via
-# one-hot MXU matmuls into VMEM scratch — kept for reference: the dots
-# are cheap (+1.7 µs) but per-tick [1,V] scratch reads cost MORE than the
-# sequential row recurrence they replace (+11 vs +10 µs; the
-# [1,V]->[H,V] broadcast pattern dominates either way — see
-# tools/kabl2.py ablations).
+# FMAs against precomputed delta planes (measured best: ~19.4-21.5
+# µs/block at 256 voices / B=1024, chip-state dependent; v2: 20.1-21.9).
+# Rejected via tools/kabl*.py chip ablations (round 3): whole-block row
+# tables gathered by one-hot MXU matmuls (dots cheap at +1.7 µs but the
+# per-tick [1,V] scratch reads cost MORE than the sequential recurrence
+# they replace — the [1,V]->[H,V] broadcast pattern dominates either
+# way); bf16 elementwise math (2.2x SLOWER — Mosaic does not pack bf16
+# on the VPU); bf16 products + block-diag ones MXU reduction (similar).
 # v2: the round-2 kernel (per-tick plane selects + sequential row ops).
 _KERNEL_VERSION = os.environ.get("OSCEN_ADDITIVE_KERNEL", "v3")
 
@@ -146,146 +146,6 @@ def _kernel(U, SUB, with_mix, or_ref, oi_ref, mr_ref, mi_ref, cur_ref,
     (carry, cur_last) = jax.lax.fori_loop(
         0, B // U, body, ((zr0, zi0, tgt0, D0, p0, s0), cur0))
     zr, zi, tgt, D, p, s = carry
-    or_o[:] = zr
-    oi_o[:] = zi
-    cur_o[:] = cur_last
-    tgt_o[:] = tgt
-    step_o[:] = s
-
-
-@functools.lru_cache(maxsize=None)
-def _row_tables_v4(B: int, SUB: int, pad: int = 72):
-    """Whole-block envelope-row coefficient tables.
-
-    The per-voice interpolation factor ``p`` restarts at 1 at every block
-    entry, so the v2 row recurrence over a block is a pure function of
-    the entry step ``s0`` ∈ [0, 65).  Simulated here in float64 for every
-    entry step and split hi/lo (each bfloat16) so two exact one-hot MXU
-    matmuls reconstruct ~f32-accurate rows — eliminating the sequential
-    [1,V] row chain that dominated the v2 kernel.
-
-    Returns bf16 ``[B//SUB * 4*SUB, pad]``: per subgroup ``k`` the rows
-    are ``[r1_hi(SUB), r2_hi(SUB), r1_lo(SUB), r2_lo(SUB)]`` where
-    ``r1`` scales the pre-wrap delta ``D`` and ``r2`` the post-wrap
-    ``G1 = tgt·mult − tgt`` (amp = tgt + r1·D + r2·G1).
-    """
-    import numpy as np
-    import ml_dtypes
-    r1 = np.zeros((B, pad), np.float64)
-    r2 = np.zeros((B, pad), np.float64)
-    for s0 in range(65):
-        s = s0
-        p = 1.0
-        wrapped = False
-        for t in range(B):
-            if t % SUB == 0:
-                wrapped = False
-            if s == 0:
-                wrapped = True
-                p = 63.0 / 64.0
-            else:
-                p = p * (1.0 - (s + 1.0) / 64.0)
-            r1[t, s0] = 0.0 if wrapped else p
-            r2[t, s0] = (1.0 - p) if wrapped else 0.0
-            s = s + 1 if s < 64 else 0
-
-    def hi_lo(x):
-        hi = x.astype(ml_dtypes.bfloat16).astype(np.float64)
-        lo = (x - hi).astype(ml_dtypes.bfloat16)
-        return hi.astype(ml_dtypes.bfloat16), lo
-
-    r1h, r1l = hi_lo(r1)
-    r2h, r2l = hi_lo(r2)
-    blocks = []
-    for k in range(B // SUB):
-        sl = slice(k * SUB, (k + 1) * SUB)
-        blocks += [r1h[sl], r2h[sl], r1l[sl], r2l[sl]]
-    return np.concatenate(blocks, axis=0)
-
-
-def _kernel_v4(U, SUB, PAD, with_mix, tbl_ref, or_ref, oi_ref, mr_ref,
-               mi_ref, cur_ref, tgt_ref, mult_ref, step_ref, y_ref, or_o,
-               oi_o, cur_o, tgt_o, step_o, rows_scr):
-    # U = fori unroll (samples per loop body); SUB = closed-form subgroup
-    # (rotation anchor + at-most-one envelope-cycle wrap; SUB <= 33 so
-    # the wrap-in-subgroup row test below is exact).
-    mr = mr_ref[:]
-    mi = mi_ref[:]
-    mult = mult_ref[:]
-    B = y_ref.shape[0]
-    V = step_ref.shape[1]
-
-    # m^j planes, j = 1..SUB (built once per block; the *3 copies fold the
-    # reference's output gain into the rotation tables)
-    mjr = [mr]
-    mji = [mi]
-    for _ in range(SUB - 1):
-        pr, pi = mjr[-1], mji[-1]
-        mjr.append(pr * mr - pi * mi)
-        mji.append(pr * mi + pi * mr)
-    msr, msi = mjr[SUB - 1], mji[SUB - 1]
-    mji3 = [m * 3.0 for m in mji]
-    mjr3 = [m * 3.0 for m in mjr]
-
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (PAD, V), 0)
-    onehot = (iota_s == step_ref[:].astype(jnp.int32)).astype(
-        jnp.bfloat16)
-
-    def subgroup(k, carry):
-        zr, zi, tgt, D, s0 = carry
-        tgtm = tgt * mult        # next cycle's target, if a wrap occurs
-        G1 = tgtm - tgt
-        # rows for this subgroup: one-hot gather on the MXU (hi + lo
-        # bf16 passes -> ~f32-exact), staged through VMEM scratch so the
-        # per-tick [1,V] reads are plain loads (no vreg relayouts)
-        tb = tbl_ref[pl.ds(k * 4 * SUB, 4 * SUB), :]
-        out = jax.lax.dot_general(
-            tb, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [4*SUB, V]
-        rows_scr[:, :] = out[:2 * SUB] + out[2 * SUB:]
-        rows = []
-        for j in range(SUB):
-            r1 = rows_scr[j:j + 1, :]
-            r2 = rows_scr[SUB + j:SUB + j + 1, :]
-            amp = r2 * G1 + (r1 * D + tgt)
-            im = zr * mji3[j] + zi * mjr3[j]
-            rows.append(jnp.sum(im * amp, axis=0, keepdims=True))
-            last_amp = amp
-        zr, zi = zr * msr - zi * msi, zr * msi + zi * msr
-        # wrap-in-subgroup from the entry step alone: at tick t the step
-        # hits 0 iff s0 + t == 65 (or s0 == 0 at t = 0)
-        w_last = jnp.logical_or(s0 == 0.0, s0 >= 66.0 - SUB)
-        tgt = jnp.where(w_last, tgtm, tgt)
-        D = jnp.where(w_last, -G1, D)
-        s = s0 + float(SUB)
-        s = jnp.where(s >= 65.0, s - 65.0, s)
-        return (zr, zi, tgt, D, s), rows, last_amp
-
-    def body(i, carry):
-        carry, cur_last = carry
-        all_rows = []
-        for u in range(U // SUB):
-            k = i * (U // SUB) + u
-            carry, rows, cur_last = subgroup(k, carry)
-            all_rows.extend(rows)
-        Y = jnp.concatenate(all_rows, axis=0)
-        if with_mix:
-            y_ref[pl.ds(i * U, U), :] = jnp.sum(Y, axis=1, keepdims=True)
-        else:
-            y_ref[pl.ds(i * U, U), :] = Y
-        return (carry, cur_last)
-
-    zr0 = or_ref[:]
-    zi0 = oi_ref[:]
-    cur0 = cur_ref[:]
-    s0 = step_ref[:]
-    # entry anchor: a wrap at the very first tick takes its cycle base
-    # from CUR (reference: tgt = cur*mult at s==0)
-    tgt0 = jnp.where(s0 == 0.0, cur0, tgt_ref[:])
-    D0 = cur0 - tgt0
-    (carry, cur_last) = jax.lax.fori_loop(
-        0, B // U, body, ((zr0, zi0, tgt0, D0, s0), cur0))
-    zr, zi, tgt, D, s = carry
     or_o[:] = zr
     oi_o[:] = zi
     cur_o[:] = cur_last
@@ -409,12 +269,14 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
                        ((0, 0), (0, padV)))
     Hp, Vp = H + padH, V + padV
 
-    U = pick_unroll(block_len)
-    SUB = min(U, 32)
+    U = pick_unroll(block_len,
+                    max_u=int(os.environ.get("OSCEN_ADDITIVE_UNROLL",
+                                             "64")))
+    SUB = min(U, int(os.environ.get("OSCEN_ADDITIVE_SUB", "32")))
 
     # grid over voice tiles: keeps VMEM bounded for large voice counts
     # (each tile's state/output is independent — voices don't interact)
-    TILE = 256
+    TILE = int(os.environ.get("OSCEN_ADDITIVE_TILE", "256"))
     n_tiles = max(Vp // TILE, 1)
     tile = Vp // n_tiles  # Vp is a multiple of 128; tiles stay aligned
     while tile % 128:
@@ -433,26 +295,7 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
     else:
         y_shape = jax.ShapeDtypeStruct((block_len, Vp), jnp.float32)
         y_spec = vspec(block_len)
-    if _KERNEL_VERSION == "v4":
-        PAD = 72  # 65 step values padded to a sublane multiple
-        tbl = jnp.asarray(_row_tables_v4(block_len, SUB, PAD))
-        tbl_spec = pl.BlockSpec(tbl.shape, lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)
-        y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
-            functools.partial(_kernel_v4, U, SUB, PAD, with_mix),
-            grid=(n_tiles,),
-            out_shape=(
-                y_shape,
-                plane, plane, plane, plane,
-                jax.ShapeDtypeStruct((1, Vp), jnp.float32),
-            ),
-            in_specs=[tbl_spec] + [vspec(Hp)] * 7 + [vspec(1)],
-            out_specs=(y_spec,) + (vspec(Hp),) * 4 + (vspec(1),),
-            scratch_shapes=[pltpu.VMEM((2 * SUB, tile), jnp.float32)],
-            interpret=interpret,
-        )(tbl, pad(osc_re), pad(osc_im), pad(mul_re), pad(mul_im),
-          pad(cur), pad(tgt), pad(mult), step_row)
-    elif _KERNEL_VERSION == "v3":
+    if _KERNEL_VERSION == "v3":
         y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
             functools.partial(_kernel_v3, U, SUB, with_mix),
             grid=(n_tiles,),

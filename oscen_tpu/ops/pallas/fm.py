@@ -53,55 +53,9 @@ def _kernel(B, U, phase0_ref, prev0_ref, dt_ref, pm_ref, fb_ref, env_ref,
     prev_o[:] = prev
 
 
-def _chain3_kernel(B, U, ph_ref, prev_ref, dt_ref, lvl_ref, fb_ref,
-                   mix_ref, env3_ref, env2_ref, env1_ref, y_ref,
-                   ph_o, prev_o):
-    """The FMVoice operator chain (fm_voice.rs connections): per sample,
-    op3 → route crossfade → op2 → mixer → op1, each an FM operator with
-    self-feedback.  State rows are stacked [3, V] (op3, op2, op1).
-    B = true block length (bound via partial; padded tail must not run);
-    U = unroll factor (amortizes fori_loop overhead, like the additive
-    kernel).  dt is PER-SAMPLE ``[3, B, V]`` — the voice allocator
-    changes the pitch mid-block at note-on, and this node sees no gate
-    event to force the fallback path."""
-    lvl = lvl_ref[:]    # [3, V]
-    fb = fb_ref[:]      # [3, V]
-    mix = mix_ref[:]    # [1, V] (route, pre-clamped)
-
-    def op(t, ph, prev, pm, env, i):
-        y = sin_turns(ph + pm + prev * fb[i:i + 1, :]) \
-            * env * lvl[i:i + 1, :]
-        ph = ph + dt_ref[i, pl.ds(t, 1), :]
-        return ph - jnp.trunc(ph), y
-
-    def sample(t, carry):
-        ph3, ph2, ph1, p3, p2, p1 = carry
-        ph3, y3 = op(t, ph3, p3, 0.0, env3_ref[pl.ds(t, 1), :], 0)
-        a = y3 * (1.0 - mix)   # crossfade output_a -> op2.phase_mod
-        b = y3 * mix           # crossfade output_b -> op1 mixer
-        ph2, y2 = op(t, ph2, p2, a, env2_ref[pl.ds(t, 1), :], 1)
-        ph1, y1 = op(t, ph1, p1, y2 + b, env1_ref[pl.ds(t, 1), :], 2)
-        return (ph3, ph2, ph1, y3, y2, y1), y1
-
-    def body(i, carry):
-        rows = []
-        for j in range(U):
-            carry, y1 = sample(i * U + j, carry)
-            rows.append(y1)
-        y_ref[pl.ds(i * U, U), :] = jnp.concatenate(rows, axis=0)
-        return carry
-
-    ph3, ph2, ph1, p3, p2, p1 = jax.lax.fori_loop(
-        0, B // U, body,
-        (ph_ref[0:1, :], ph_ref[1:2, :], ph_ref[2:3, :],
-         prev_ref[0:1, :], prev_ref[1:2, :], prev_ref[2:3, :]))
-    ph_o[:] = jnp.concatenate([ph3, ph2, ph1], axis=0)
-    prev_o[:] = jnp.concatenate([p3, p2, p1], axis=0)
-
-
 def _chain3_pipe_kernel(B, U, ph_ref, prev_ref, dt3_ref, dt2_ref, dt1_ref,
-                        lvl_ref, fb_ref, mix_ref, env3_ref, env2_ref,
-                        env1_ref, y_ref, ph_o, prev_o, d2_o):
+                        fb_ref, mix_ref, env3_ref,
+                        env2_ref, env1_ref, y_ref, ph_o, prev_o, d2_o):
     """Software-pipelined variant: iteration i computes op3 sample i,
     op2 sample i-1, op1 sample i-2 — so the three sins (and the FM
     arithmetic) run as ONE stacked [3, V] vector op per iteration instead
@@ -116,19 +70,24 @@ def _chain3_pipe_kernel(B, U, ph_ref, prev_ref, dt3_ref, dt2_ref, dt1_ref,
     per iteration measured FASTER than one interleaved aligned [24, V]
     chunk read per unrolled body (105 vs 148 µs/block at B=1024, V=256).
     y_ref rows 0..1 are garbage (sliced off).
+
+    Round-3 changes: (a) op levels are folded into the env streams by
+    the wrapper (y = sin·(env·lvl), matching the tick's association);
+    (b) the activity masks only matter while the pipeline fills (i < 2)
+    and drains (i >= B) — the steady middle bodies run a mask-free
+    sample (~8 fewer vector ops per sample on the dependent path).
     """
-    lvl = lvl_ref[:]    # [3, V]
     fb = fb_ref[:]      # [3, V]
     mix = mix_ref[:]    # [1, V]
     zero = jnp.zeros_like(mix)
     one = jnp.ones_like(mix)
-    rowid = jax.lax.broadcasted_iota(jnp.int32, lvl.shape, 0)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, fb.shape, 0)
     # pm = rotate(prev) * w1 + y3_d2 * w2:
     #   rows (0, y3[i-1]*(1-mix), y2[i-2]*1) + (0, 0, y3[i-2]*mix)
     w1 = jnp.concatenate([zero, 1.0 - mix, one], axis=0)
     w2 = jnp.concatenate([zero, zero, mix], axis=0)
 
-    def sample(i, carry):
+    def sample(i, carry, masked):
         ph, prev, y3_d2 = carry
         env = jnp.concatenate([env3_ref[pl.ds(i, 1), :],
                                env2_ref[pl.ds(i, 1), :],
@@ -138,24 +97,43 @@ def _chain3_pipe_kernel(B, U, ph_ref, prev_ref, dt3_ref, dt2_ref, dt1_ref,
                               dt1_ref[pl.ds(i, 1), :]], axis=0)
         rot = jnp.concatenate([prev[2:3, :], prev[0:2, :]], axis=0)
         pm = rot * w1 + y3_d2 * w2
-        y = sin_turns(ph + pm + prev * fb) * env * lvl
-        active = jnp.logical_and(i >= rowid, i < B + rowid)
+        y = sin_turns(ph + pm + prev * fb) * env
         nph = ph + dt
-        ph = jnp.where(active, nph - jnp.trunc(nph), ph)
-        carry = (ph, jnp.where(active, y, prev), prev[0:1, :])
+        nph = nph - jnp.trunc(nph)
+        if masked:
+            active = jnp.logical_and(i >= rowid, i < B + rowid)
+            ph = jnp.where(active, nph, ph)
+            nprev = jnp.where(active, y, prev)
+        else:
+            ph = nph
+            nprev = y
+        carry = (ph, nprev, prev[0:1, :])
         return carry, y[2:3, :]
 
-    def body(k, carry):
-        rows = []
-        for j in range(U):
-            carry, y1 = sample(k * U + j, carry)
-            rows.append(y1)
-        y_ref[pl.ds(k * U, U), :] = jnp.concatenate(rows, axis=0)
-        return carry
+    def make_body(masked):
+        def body(k, carry):
+            rows = []
+            for j in range(U):
+                carry, y1 = sample(k * U + j, carry, masked)
+                rows.append(y1)
+            y_ref[pl.ds(k * U, U), :] = jnp.concatenate(rows, axis=0)
+            return carry
+        return body
 
     NI = y_ref.shape[0]  # B + 2 rounded up to U (wrapper guarantees)
-    ph, prev, y3_d2 = jax.lax.fori_loop(
-        0, NI // U, body, (ph_ref[:], prev_ref[:], prev_ref[0:1, :]))
+    NB = NI // U
+    steady_lo = 1               # body 0 covers the i < 2 pipeline fill
+    steady_hi = min(B // U, NB)  # bodies past B//U cross the drain edge
+    carry = (ph_ref[:], prev_ref[:], prev_ref[0:1, :])
+    if steady_hi <= steady_lo:
+        carry = jax.lax.fori_loop(0, NB, make_body(True), carry)
+    else:
+        carry = make_body(True)(0, carry)
+        carry = jax.lax.fori_loop(steady_lo, steady_hi,
+                                  make_body(False), carry)
+        for k in range(steady_hi, NB):
+            carry = make_body(True)(k, carry)
+    ph, prev, y3_d2 = carry
     ph_o[:] = ph
     prev_o[:] = prev
     d2_o[:] = y3_d2
@@ -171,12 +149,18 @@ def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
     lvl/fb ``[3, V]`` block-constant per-op params; mix ``[V]`` (route,
     clamped); env* ``[B, V]`` envelope streams.
     Returns (y ``[B, V]``, phases', prevs').
+
+    Levels are folded into the envelope streams here (one [B, V]
+    multiply each, outside the sequential kernel); the tick path uses
+    the same ``sin·(env·lvl)`` association so parity stays bit-exact.
     """
     B, V = env3.shape
     padV = (-V) % 128
     # U need not divide B (activity guards mask the rounded-up tail);
-    # 64 is the measured VPU sweet spot for unrolled sample loops
-    U = 64 if B + 2 >= 64 else 8
+    # 64 is the measured VPU sweet spot for unrolled sample loops at
+    # production block sizes; small blocks keep U=8 so interpret-mode
+    # tests don't unroll hundreds of samples into one traced body
+    U = 64 if B + 2 >= 256 else 8
     NI = -(-(B + 2) // U) * U  # pipeline prologue(2) + round up to U
 
     def shifted(x, lag):
@@ -195,13 +179,14 @@ def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
             jax.ShapeDtypeStruct((3, V + padV), jnp.float32),
             jax.ShapeDtypeStruct((1, V + padV), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4,
         interpret=interpret,
     )(p3(phases), p3(prevs),
       shifted(dt[0], 0), shifted(dt[1], 1), shifted(dt[2], 2),
-      p3(lvl), p3(fb), mix_row,
-      shifted(env3, 0), shifted(env2, 1), shifted(env1, 2))
+      p3(fb), mix_row,
+      shifted(env3 * lvl[0], 0), shifted(env2 * lvl[1], 1),
+      shifted(env1 * lvl[2], 2))
     return y[2:B + 2, :V], ph[:, :V], pv[:, :V]
 
 
@@ -236,3 +221,123 @@ def fm_operator_scan(phase0, prev0, dt, pm, fb, env, lvl,
     )(row(phase0), row(prev0), padBV(dt), padBV(pm), padBV(fb),
       padBV(env), padBV(lvl))
     return y[:B, :V], phase[0, :V], prev[0, :V]
+
+
+def _pivot3_pipe_kernel(B, U, ph_ref, prev_ref, dt3_ref, dt2_ref, dt1_ref,
+                        fb_ref, mix_ref, env3_ref, env2_ref, env1_ref,
+                        y_ref, ph_o, prev_o):
+    """Pivot operator chain, software-pipelined like ``_chain3_pipe``.
+
+    The pivot voice (examples/pivot/src/pivot_voice.rs:94-173) differs
+    from the fm-synth voice in where envelopes apply: the RAW sine feeds
+    each operator's own self-feedback (``prev`` carries y_raw), while the
+    modulation routing uses the enveloped/leveled signal (``s`` carries
+    y_raw·env·lvl; env streams arrive pre-multiplied by level).  Row
+    lags, activity masking and the steady-region split are identical to
+    the fm chain kernel.
+    """
+    fb = fb_ref[:]      # [3, V]
+    mix = mix_ref[:]    # [1, V]
+    zero = jnp.zeros_like(mix)
+    one = jnp.ones_like(mix)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, fb.shape, 0)
+    # pm rows: (0, a3[i-1]·(1-mix), a2[i-2]·1) + (0, 0, a3[i-2]·mix)
+    w1 = jnp.concatenate([zero, 1.0 - mix, one], axis=0)
+    w2 = jnp.concatenate([zero, zero, mix], axis=0)
+
+    def sample(i, carry, masked):
+        ph, prev, s, s3_d2 = carry
+        env = jnp.concatenate([env3_ref[pl.ds(i, 1), :],
+                               env2_ref[pl.ds(i, 1), :],
+                               env1_ref[pl.ds(i, 1), :]], axis=0)
+        dt = jnp.concatenate([dt3_ref[pl.ds(i, 1), :],
+                              dt2_ref[pl.ds(i, 1), :],
+                              dt1_ref[pl.ds(i, 1), :]], axis=0)
+        rot = jnp.concatenate([s[2:3, :], s[0:2, :]], axis=0)
+        pm = rot * w1 + s3_d2 * w2
+        y = sin_turns(ph + pm + prev * fb)   # raw sine -> feedback
+        ys = y * env                         # vca(env)·level (routing)
+        nph = ph + dt
+        nph = nph - jnp.trunc(nph)
+        if masked:
+            active = jnp.logical_and(i >= rowid, i < B + rowid)
+            ph = jnp.where(active, nph, ph)
+            nprev = jnp.where(active, y, prev)
+            ns = jnp.where(active, ys, s)
+        else:
+            ph = nph
+            nprev = y
+            ns = ys
+        carry = (ph, nprev, ns, s[0:1, :])
+        return carry, ys[2:3, :]
+
+    def make_body(masked):
+        def body(k, carry):
+            rows = []
+            for j in range(U):
+                carry, y1 = sample(k * U + j, carry, masked)
+                rows.append(y1)
+            y_ref[pl.ds(k * U, U), :] = jnp.concatenate(rows, axis=0)
+            return carry
+        return body
+
+    NI = y_ref.shape[0]
+    NB = NI // U
+    steady_lo = 1
+    steady_hi = min(B // U, NB)
+    z = jnp.zeros_like(prev_ref[:])
+    carry = (ph_ref[:], prev_ref[:], z, z[0:1, :])
+    if steady_hi <= steady_lo:
+        carry = jax.lax.fori_loop(0, NB, make_body(True), carry)
+    else:
+        carry = make_body(True)(0, carry)
+        carry = jax.lax.fori_loop(steady_lo, steady_hi,
+                                  make_body(False), carry)
+        for k in range(steady_hi, NB):
+            carry = make_body(True)(k, carry)
+    ph, prev, s, s3_d2 = carry
+    ph_o[:] = ph
+    prev_o[:] = prev
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pivot_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
+                      interpret: bool = False):
+    """One block of the fused pivot operator chain, all voices.
+
+    Args as :func:`fm_chain3_scan`; ``prevs`` carries the RAW sine
+    history (the pivot feedback path), env streams are multiplied by the
+    op levels here (outside the sequential kernel).  The scaled-signal
+    pipeline rows rebuild inside the block (only raw history crosses
+    block boundaries — modulation routing is same-tick in the reference,
+    the pipeline lag is internal).
+    Returns (y ``[B, V]`` — the vca1 output, pre-filter; phases'; prevs').
+    """
+    B, V = env3.shape
+    padV = (-V) % 128
+    U = 64 if B + 2 >= 256 else 8  # see fm_chain3_scan
+    NI = -(-(B + 2) // U) * U
+
+    def shifted(x, lag):
+        return jnp.pad(x, ((lag, NI - B - lag), (0, padV)))
+
+    def p3(x):
+        return jnp.pad(x, ((0, 0), (0, padV)))
+
+    mix_row = jnp.pad(jnp.reshape(mix, (1, -1)), ((0, 0), (0, padV)))
+    y, ph, pv = pl.pallas_call(
+        functools.partial(_pivot3_pipe_kernel, B, U),
+        out_shape=(
+            jax.ShapeDtypeStruct((NI, V + padV), jnp.float32),
+            jax.ShapeDtypeStruct((3, V + padV), jnp.float32),
+            jax.ShapeDtypeStruct((3, V + padV), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        interpret=interpret,
+    )(p3(phases), p3(prevs),
+      shifted(dt[0], 0), shifted(dt[1], 1), shifted(dt[2], 2),
+      p3(fb), mix_row,
+      shifted(env3 * lvl[0], 0), shifted(env2 * lvl[1], 1),
+      shifted(env1 * lvl[2], 2))
+    return y[2:B + 2, :V], ph[:, :V], pv[:, :V]

@@ -122,3 +122,98 @@ def test_pivot_block_size_invariance():
             pos += n
         return np.concatenate(out)
     np.testing.assert_array_equal(run(512), run(128))
+
+
+def test_pivot_fused_voice_matches_reference_structure():
+    """The fused PivotOperatorChain + AdsrBank voice must track the
+    node-for-node reference graph (association differences in env·level
+    multiplies only; feedback kept moderate so chaos doesn't amplify
+    rounding)."""
+    from oscen_tpu.models.pivot import build_pivot_voice_fused
+
+    def run(build):
+        c = build().compile(48000.0, block_size=256, mode="block")
+        c.set_value("op3_feedback", 0.3)
+        c.set_value("route", 0.4)
+        c.set_value("filter_env_amount", 800.0)
+        c.queue_event("gate", 10, 1.0)
+        return c.render_mono(4096)
+
+    a = run(build_pivot_voice)
+    b = run(build_pivot_voice_fused)
+    rms = np.sqrt(np.mean((a - b) ** 2))
+    assert rms < 1e-4, rms
+    assert np.abs(a).max() > 0.01
+
+
+def test_pivot_chain_kernel_matches_tick():
+    """The pivot chain Pallas kernel (interpret mode) reproduces
+    PivotOperatorChain.tick over one block — including a mid-block pitch
+    change and moderate self-feedback.  XLA contracts mul+add into fma
+    differently between the two compiled paths, so exact bit-parity is
+    not promised; the self-feedback amplifies the ~1-ulp seeds, hence
+    the single-block 1e-5 bar (longer feedback runs diverge
+    chaotically, as documented for the fm chain)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oscen_tpu.core.types import SampleRate
+    from oscen_tpu.models.pivot import PivotOperatorChain
+    from oscen_tpu.ops.pallas.fm import pivot_chain3_scan
+
+    sr = SampleRate(48000.0)
+    node = PivotOperatorChain()
+    V, B = 2, 62  # B % 8 != 0: padded tail must not corrupt carries
+    rng = np.random.default_rng(3)
+    freq = np.full((B, V), 220.0, np.float32)
+    freq[B // 2:, 1] = 330.0          # mid-block retune
+    env3 = rng.uniform(0.2, 1.0, (B, V)).astype(np.float32)
+    env2 = rng.uniform(0.2, 1.0, (B, V)).astype(np.float32)
+    env1 = rng.uniform(0.2, 1.0, (B, V)).astype(np.float32)
+    p = dict(op3_ratio=3.0, op2_ratio=2.0, op1_ratio=1.0,
+             op3_level=0.5, op2_level=0.5,
+             op3_feedback=0.3, op2_feedback=0.1, op1_feedback=0.0,
+             route=0.4)
+
+    ys = np.zeros((B, V), np.float32)
+    for v in range(V):
+        st = node.init_state(sr)
+        for t in range(B):
+            ins = node.default_inputs()
+            ins.update({k: jnp.float32(x) for k, x in p.items()})
+            ins.update(base_freq=jnp.float32(freq[t, v]),
+                       env3=jnp.float32(env3[t, v]),
+                       env2=jnp.float32(env2[t, v]),
+                       env1=jnp.float32(env1[t, v]))
+            st, o = node.tick(st, ins, sr)
+            ys[t, v] = float(o["output"])
+
+    dt = jnp.stack([jnp.asarray(freq) * r / 48000.0
+                    for r in (3.0, 2.0, 1.0)])
+    three = lambda a, b, c: jnp.asarray(
+        np.broadcast_to(np.array([a, b, c], np.float32)[:, None], (3, V)))
+    y, ph, pv = pivot_chain3_scan(
+        jnp.zeros((3, V)), jnp.zeros((3, V)), dt,
+        three(0.5, 0.5, 1.0), three(0.3, 0.1, 0.0),
+        jnp.full((V,), 0.4), jnp.asarray(env3), jnp.asarray(env2),
+        jnp.asarray(env1), interpret=True)
+    np.testing.assert_allclose(np.asarray(y), ys, atol=1e-5)
+    assert np.abs(ys).max() > 0.05
+
+
+def test_pivot_fused_full_graph_sounds():
+    """The fused 8-voice pivot app renders the same chord spectrum as
+    the reference-structured build."""
+    for fused in (False, True):
+        c = build_pivot(8, fused=fused).compile(48000.0, block_size=480,
+                                                mode="block")
+        for n in (48, 60, 64, 67):
+            c.queue_event("midi_in", 0, raw_midi_event([0x90, n, 100]))
+        out = c.render_mono(24000)
+        assert np.isfinite(out).all()
+        freqs, spec = _spectrum(out[4800:])
+        noise = spec[freqs > 6000].max()
+        for n in (48, 60, 64, 67):
+            f0 = 440.0 * 2 ** ((n - 69) / 12)
+            peak = spec[(freqs > f0 * 0.97) & (freqs < f0 * 1.03)].max()
+            assert peak > 3 * noise, (fused, n)
