@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .util import pick_unroll
 
-__all__ = ["tpt_svf_scan", "biquad_scan"]
+__all__ = ["tpt_svf_scan", "biquad_scan", "allpass_cascade_scan"]
 
 
 def _pad_to(x, mult, axis):
@@ -189,3 +189,69 @@ def biquad_scan(x, b0, b1, b2, a1, a2, v1, v2, interpret: bool = False):
         interpret=interpret,
     )(xp, coef(b0), coef(b1), coef(b2), coef(a1), coef(a2), row(v1), row(v2))
     return y[:B, :V], v1o[0, :V], v2o[0, :V]
+
+
+def _allpass_kernel(B, U, S, x_ref, a_ref, xp_ref, yp_ref, y_ref,
+                    xp_o, yp_o):
+    """Cascade of S first-order allpasses, exact reference op order
+    (resample/halfband_iir.rs:24-63): per stage
+    ``y = a*(x - y_prev) + x_prev``; stages chained within the sample."""
+    a = a_ref[:]          # [S, V]
+
+    def sample(t, carry):
+        xp, yp = carry    # [S, V] per-stage input/output histories
+        cur = x_ref[pl.ds(t, 1), :]
+        nxp = []
+        nyp = []
+        for s in range(S):
+            y = a[s:s + 1, :] * (cur - yp[s:s + 1, :]) + xp[s:s + 1, :]
+            nxp.append(cur)
+            nyp.append(y)
+            cur = y
+        return (jnp.concatenate(nxp, axis=0),
+                jnp.concatenate(nyp, axis=0)), cur
+
+    def body(i, carry):
+        rows = []
+        for j in range(U):
+            carry, y = sample(i * U + j, carry)
+            rows.append(y)
+        y_ref[pl.ds(i * U, U), :] = jnp.concatenate(rows, axis=0)
+        return carry
+
+    xp, yp = jax.lax.fori_loop(0, B // U, body, (xp_ref[:], yp_ref[:]))
+    xp_o[:] = xp
+    yp_o[:] = yp
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def allpass_cascade_scan(x, a, xp, yp, interpret: bool = False):
+    """One block through an S-stage first-order allpass cascade,
+    channel-parallel (the IIR-halfband resampler branch).
+
+    Args: x ``[B, V]`` time-major; a/xp/yp ``[S, V]`` per-stage
+    coefficients and carried histories.
+    Returns (y ``[B, V]``, xp', yp') — bit-parity with the per-sample
+    recurrence (sequential-exact, so block-size invariance holds).
+    """
+    xq, B = _pad_to(x, 8, 0)
+    xq, V = _pad_to(xq, 128, 1)
+
+    def st(v):
+        v = jnp.asarray(v)
+        r, _ = _pad_to(v, 128, 1)
+        return r
+
+    S = a.shape[0]
+    y, xpo, ypo = pl.pallas_call(
+        functools.partial(_allpass_kernel, B, pick_unroll(B), S),
+        out_shape=(
+            jax.ShapeDtypeStruct(xq.shape, jnp.float32),
+            jax.ShapeDtypeStruct((S, xq.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((S, xq.shape[1]), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        interpret=interpret,
+    )(xq, st(a), st(xp), st(yp))
+    return y[:B, :V], xpo[:, :V], ypo[:, :V]

@@ -269,6 +269,27 @@ class _IirHalfband2x:
         }
 
     def _branch(self, betas, xs, x_prevs, y_prevs):
+        from .pallas.util import pallas_mode
+        use, interp = pallas_mode()
+        if use:
+            # sequential-exact Pallas cascade (exact op order, so
+            # block-size invariance holds) — a plain lax.scan measures
+            # ~3.6 µs per ITERATION on TPU (14.8 ms per 4096-sample
+            # block vs ~25 µs through the kernel; tools/monobench.py)
+            from .pallas.iir import allpass_cascade_scan
+            S = len(betas)
+            flat = jnp.reshape(xs, (xs.shape[0], -1))
+            a = jnp.broadcast_to(
+                jnp.asarray(betas, jnp.float32)[:, None],
+                (S, flat.shape[1]))
+            xp = jnp.stack([jnp.reshape(v, (-1,)) for v in x_prevs])
+            yp = jnp.stack([jnp.reshape(v, (-1,)) for v in y_prevs])
+            y, xpo, ypo = allpass_cascade_scan(flat, a, xp, yp,
+                                               interpret=interp)
+            shp = xs.shape[1:]
+            return (jnp.reshape(y, xs.shape),
+                    tuple(jnp.reshape(xpo[s], shp) for s in range(S)),
+                    tuple(jnp.reshape(ypo[s], shp) for s in range(S)))
         new_xp, new_yp = [], []
         y = xs
         for a, xp, yp in zip(betas, x_prevs, y_prevs):

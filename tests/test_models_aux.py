@@ -433,3 +433,37 @@ def test_checkpoint_rejects_mismatched_config(tmp_path):
     snap["INPUTS"] = "garbage"
     h.restore_host_state(snap)
     assert h.INPUTS != "garbage"
+
+
+def test_oscilloscope_auto_period_detection():
+    """The reference auto-detects the display period from measured
+    crossing distances (oscilloscope/mod.rs:236-287): the snapshot
+    window length equals the detected period, invariant to where block
+    boundaries fall."""
+    from oscen_tpu.nodes.oscilloscope import Oscilloscope
+
+    def run(bs):
+        g = Graph("ScopeA")
+        g.output("out", "stream")
+        osc = g.add("osc", Oscillator.sine(250.0, 1.0))  # period = 192
+        scope = g.add("scope", Oscilloscope(capacity=2048))
+        g.connect(osc.output, scope.input)
+        g.connect(scope.output, "out")
+        c = g.compile(48000.0, block_size=bs)
+        c.render_mono(1920)
+        return c.node_state("scope")
+
+    st = run(512)
+    assert int(st["detected_period"]) == 192
+    snap = Oscilloscope.snapshot(st)
+    assert snap.shape == (192,)          # auto length = detected period
+    # window ends AT the crossing sample (the first positive one, as the
+    # reference stores it post-push); a one-period window therefore starts
+    # one sample past the previous crossing (phase = 2 * 2pi/192)
+    assert 0.0 < snap[-1] < 0.05
+    assert 0.05 < snap[0] < 0.1
+
+    # block-size invariance of the detector state machine
+    st2 = run(128)
+    assert int(st2["detected_period"]) == 192
+    assert int(st2["period_count"]) == int(st["period_count"])

@@ -329,3 +329,31 @@ def test_oversampled_feedback_island_with_events():
     b = run("block")
     np.testing.assert_allclose(a, b, atol=1e-6)
     assert np.abs(a).max() > 0.001
+
+
+def test_iir_halfband_pallas_matches_scan(monkeypatch):
+    """The TPU allpass-cascade kernel (interpret mode) is bit-identical
+    to the sequential lax.scan path (same per-sample op order)."""
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(300).astype(np.float32)
+
+    def updown(env_on):
+        if env_on:
+            monkeypatch.setenv("OSCEN_PALLAS_INTERPRET", "1")
+        else:
+            monkeypatch.delenv("OSCEN_PALLAS_INTERPRET", raising=False)
+        up = rs.IirHalfbandUp(2)
+        dn = rs.IirHalfbandDown(2)
+        su = up.init_state(jnp.zeros((1,)))
+        sd = dn.init_state(jnp.zeros((1,)))
+        outs = []
+        for i in range(3):                 # carried histories across blocks
+            chunk = jnp.asarray(x[i * 100:(i + 1) * 100])
+            su, hi = up.process_block(su, chunk)
+            sd, lo = dn.process_block(sd, hi)
+            outs.append(np.asarray(lo))
+        return np.concatenate(outs)
+
+    a = updown(False)
+    b = updown(True)
+    np.testing.assert_array_equal(a, b)
