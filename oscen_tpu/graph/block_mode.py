@@ -329,6 +329,11 @@ def make_block_fn(prog, block_len: int, shard=None):
                            for r in e.source.endpoints()
                            if r.node in ir.nodes):
                         v = _psum(v)
+                elif e.fanout == Fanout.REPEAT and e.dst_index is None:
+                    v = jnp.repeat(jnp.asarray(v), e.factor, axis=0)
+                elif e.fanout == Fanout.SEGMENT_SUM \
+                        and e.dst_index is None:
+                    v = prog._segment_sum(v, e.factor)
             is_array = not indexed and inst.count > 1
             count = 1 if indexed else eff(inst.count)
             payload = _payload_shape(ep)
@@ -567,6 +572,13 @@ def make_block_fn(prog, block_len: int, shard=None):
                                                e.source.endpoints()
                                                if r.node in ir.nodes):
                                             v = _psum(v)
+                                    elif e.fanout == Fanout.REPEAT \
+                                            and e.dst_index is None:
+                                        v = jnp.repeat(jnp.asarray(v),
+                                                       e.factor, axis=0)
+                                    elif e.fanout == Fanout.SEGMENT_SUM \
+                                            and e.dst_index is None:
+                                        v = prog._segment_sum(v, e.factor)
                                     if inst.count > 1 \
                                             and e.dst_index is None \
                                             and e.fanout in (

@@ -22,6 +22,8 @@ Semantics mirrored from the reference lowering (ir/lower.rs):
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Dict, List, Optional, Union
 
 from ..core.types import Kind, ParamSpec, Policy
@@ -31,6 +33,14 @@ from .ir import (BinOp, Call, Const, EdgeKernel, EndpointRef, Expr, Fanout,
 from .node import HostNode, Node
 
 __all__ = ["Graph", "GraphError", "NodeRef", "Frame", "call"]
+
+
+def _repeat_instances(k: int, v):
+    """Group-alignment helper: duplicate each instance ``k`` times along
+    the leading (instance) axis — per-outer-instance broadcast for
+    expressions flattened out of array subgraphs."""
+    import jax.numpy as jnp
+    return jnp.repeat(jnp.asarray(v), k, axis=0)
 
 
 class GraphError(ValueError):
@@ -174,20 +184,34 @@ class Graph:
         stale struct field.
         """
         policy = Policy(policy) if not isinstance(policy, Policy) else policy
-        if isinstance(source, str) and source in self._externals:
-            # asset binding, not a signal edge (lower.rs:375-425)
+        if isinstance(source, str) and (
+                source in self._externals
+                or any(i.name == source and i.kind == Kind.ASSET
+                       for i in self._inputs)):
+            # asset binding, not a signal edge (lower.rs:375-425).  The
+            # source is an external slot or this graph's own asset-kind
+            # input (the nested-graph forwarding handle); the destination
+            # is a node's asset input or a subgraph's asset-kind input.
+            key = (source if source in self._externals
+                   else ("__input__", source))
             dst = self._as_dest(dest)
             if not isinstance(dst, EndpointRef):
                 raise GraphError(
                     f"external '{source}' can only bind to a node's asset "
                     f"input")
             node = self._nodes[dst.node].node
-            if isinstance(node, Graph) or \
-                    node.input(dst.endpoint).kind != Kind.ASSET:
+            if isinstance(node, Graph):
+                gi = next((i for i in node._inputs
+                           if i.name == dst.endpoint), None)
+                if gi is None or gi.kind != Kind.ASSET:
+                    raise GraphError(
+                        f"external '{source}' must bind to an asset input "
+                        f"of subgraph '{dst.node}', not '{dst.endpoint}'")
+            elif node.input(dst.endpoint).kind != Kind.ASSET:
                 raise GraphError(
                     f"external '{source}' must bind to an asset input, "
                     f"not '{dst.node}.{dst.endpoint}'")
-            self._asset_bindings.append((source, dst.node, dst.endpoint))
+            self._asset_bindings.append((key, dst.node, dst.endpoint))
             return
         src = self._as_source_expr(source)
         dst = self._as_dest(dest)
@@ -263,21 +287,46 @@ class Graph:
         f._inputs = list(self._inputs)
         f._outputs = list(self._outputs)
         f._externals = set(self._externals)
+
+        # asset bindings: resolve bindings into subgraph asset inputs
+        # through the subgraph's own (already-flattened) binding list,
+        # and lift inner bindings (reference asset wiring is generic
+        # over nesting, asset/mod.rs:309-320)
+        consumed_inner: set = set()   # (sub, input_name) satisfied
         for b in self._asset_bindings:
-            if b[1] in subs:
+            ext, node, ep = b
+            if node not in subs:
+                f._asset_bindings.append(b)
+                continue
+            matches = [ib for ib in sub_flat[node]._asset_bindings
+                       if ib[0] == ("__input__", ep)]
+            if not matches:
                 raise GraphError(
-                    "asset bindings into subgraph nodes are unsupported")
-        f._asset_bindings = list(self._asset_bindings)
+                    f"subgraph '{node}' has no asset route from its "
+                    f"input '{ep}' (connect the input to a node's asset "
+                    f"endpoint inside the subgraph)")
+            consumed_inner.add((node, ep))
+            for (_, inode, iep) in matches:
+                f._asset_bindings.append((ext, f"{node}.{inode}", iep))
+        for sub_name in subs:
+            for (iext, inode, iep) in sub_flat[sub_name]._asset_bindings:
+                if isinstance(iext, tuple):
+                    if (sub_name, iext[1]) not in consumed_inner:
+                        raise GraphError(
+                            f"asset input '{iext[1]}' of subgraph "
+                            f"'{sub_name}' is unbound; connect an "
+                            f"external (or an outer asset input) to it")
+                    continue
+                # subgraph-declared external: re-export prefixed
+                f._externals.add(f"{sub_name}.{iext}")
+                f._asset_bindings.append(
+                    (f"{sub_name}.{iext}", f"{sub_name}.{inode}", iep))
 
         # nodes
         for name, inst in self._nodes.items():
             if name in subs:
                 sub = sub_flat[name]
                 for iname, iinst in sub._nodes.items():
-                    if inst.count > 1 and iinst.count > 1:
-                        raise GraphError(
-                            f"node array '{iname}' inside array subgraph "
-                            f"'{name}' is unsupported")
                     rate = inst.rate * iinst.rate
                     if rate not in (1, 2, 4, 8):
                         raise GraphError(
@@ -305,21 +354,57 @@ class Graph:
                 expr = BinOp("+", expr, s)
             return expr
 
-        # outer stmts targeting subgraph inputs
+        # outer stmts targeting subgraph inputs.  A delay via on such a
+        # stmt is synthesized here at the flattened level (the reference
+        # handles this inside its generic via lowering, lower.rs:509-655):
+        # src -> Delay.input, and the substituted input reads
+        # Delay.output through a feedback-marked edge.
         outer_into: Dict[tuple, list] = {}
         passthrough: List[dict] = []
+        _via_ctr = [0]
         for stmt in self._connections:
             dst = stmt["dst"]
             if isinstance(dst, EndpointRef) and dst.node in subs:
-                if stmt.get("via") is not None:
-                    raise GraphError(
-                        "delay vias into subgraph inputs are unsupported")
+                via = stmt.get("via")
+                if via is not None:
+                    if isinstance(via, NodeRef):
+                        via = via.name
+                    if isinstance(via, str):
+                        if via in subs:
+                            raise GraphError(
+                                f"via node '{via}' cannot be a subgraph")
+                        if via not in self._nodes:
+                            raise GraphError(f"unknown via node '{via}'")
+                        vnode = self._nodes[via].node
+                        if not vnode.ALLOWS_FEEDBACK:
+                            raise GraphError(
+                                f"via node '{via}' "
+                                f"({type(vnode).__name__}) does not "
+                                f"allow feedback (AllowsFeedback)")
+                        via_name = via
+                    else:
+                        from ..nodes.delay import Delay
+                        via_name = f"__flat_via_{_via_ctr[0]}"
+                        _via_ctr[0] += 1
+                        f._nodes[via_name] = IrNodeInst(
+                            via_name, Delay(float(int(via)), 0.0))
+                    passthrough.append({
+                        "src": stmt["src"],
+                        "dst": EndpointRef(via_name, "input"),
+                        "policy": stmt["policy"], "via": None,
+                        "feedback": False})
+                    stmt = {**stmt,
+                            "src": EndpointRef(via_name, "output"),
+                            "via": None, "feedback": True}
                 outer_into.setdefault(
                     (dst.node, dst.endpoint), []).append(stmt)
             else:
                 passthrough.append(stmt)
 
         _inlining: set = set()
+        # per-emitted-stmt accumulator: feedback taint from via-backed
+        # substitutions; outer array factors of inlined subgraphs
+        _track = {"fb": False, "groups": set()}
 
         def subst_input(sub_name: str, in_name: str) -> Expr:
             stmts = outer_into.get((sub_name, in_name), [])
@@ -328,6 +413,8 @@ class Graph:
                 return Const(float(gi.default or 0.0))
             expr = None
             for s in stmts:
+                if s.get("feedback"):
+                    _track["fb"] = True
                 e = rewrite(s["src"], None)
                 expr = e if expr is None else BinOp("+", expr, e)
             return expr
@@ -354,6 +441,11 @@ class Graph:
                     base = subst_input(ctx, ref.endpoint)
                     return _apply_index_channel(base, ref.index,
                                                 ref.channel)
+                if ref.index is not None and subs[ctx].count > 1 \
+                        and sub_flat[ctx]._nodes[ref.node].count > 1:
+                    raise GraphError(
+                        f"indexed reference '{ref.node}[{ref.index}]' "
+                        f"inside array subgraph '{ctx}' is unsupported")
                 return EndpointRef(f"{ctx}.{ref.node}", ref.endpoint,
                                    ref.index, ref.channel)
             if ref.node in subs:
@@ -363,6 +455,8 @@ class Graph:
                     raise GraphError(
                         f"cyclic subgraph output reference through "
                         f"{ref.node}.{ref.endpoint}")
+                if subs[ref.node].count > 1:
+                    _track["groups"].add(subs[ref.node].count)
                 _inlining.add(key)
                 try:
                     e = rewrite(sub_output_expr(ref.node, ref.endpoint),
@@ -387,39 +481,104 @@ class Graph:
         def input_kind(sub_name: str, in_name: str) -> Kind:
             return sub_input(sub_name, in_name).kind
 
-        # emit outer passthrough stmts (sources rewritten)
+        def _align_groups(expr: Expr, group: int) -> Expr:
+            """Inside an array subgraph an expression mixing arrays of
+            different per-instance multiplicities broadcasts naturally
+            ([m] + [] per instance); flattened to one axis the counts
+            (g*m1, g*m2) no longer broadcast.  Repeat lower-multiplicity
+            refs up to the expression's max so each outer instance's
+            lanes line up (same numeric result as the unnested
+            broadcast)."""
+            counts = {}
+            for r in expr.endpoints():
+                if r.node and r.index is None and r.node in f._nodes:
+                    c = f._nodes[r.node].count
+                    if c > 1:
+                        counts[r.node] = c
+            if len(set(counts.values())) <= 1:
+                return expr
+            M = max(counts.values())
+
+            def walk(e: Expr) -> Expr:
+                if isinstance(e, EndpointRef):
+                    c = counts.get(e.node, 0)
+                    if 1 < c < M:
+                        if M % c:
+                            raise GraphError(
+                                f"array counts {c} and {M} inside an "
+                                f"array subgraph (x{group}) are not "
+                                f"per-instance compatible")
+                        k = M // c
+                        return Call(
+                            functools.partial(_repeat_instances, k), (e,))
+                    return e
+                if isinstance(e, BinOp):
+                    return BinOp(e.op, walk(e.lhs), walk(e.rhs))
+                if isinstance(e, Call):
+                    return Call(e.fn, tuple(walk(a) for a in e.args))
+                if isinstance(e, FrameCtor):
+                    return FrameCtor(tuple(walk(c_) for c_ in e.channels))
+                return e
+            return walk(expr)
+
+        def _emit(stmt: dict, src_expr, ctx: Optional[str],
+                  base_group: int) -> None:
+            """Rewrite ``src_expr`` and append the stmt, folding the
+            per-stmt feedback taint (via-backed substitutions) and the
+            outer array factor into the emitted connection."""
+            _track["fb"] = bool(stmt.get("feedback", False))
+            _track["groups"] = set()
+            src = rewrite(src_expr, ctx)
+            group = base_group
+            for g in _track["groups"]:
+                group = max(group, g)
+            if group > 1:
+                src = _align_groups(src, group)
+            f._connections.append({**stmt, "src": src,
+                                   "feedback": _track["fb"],
+                                   "group": group})
+
+        # emit outer passthrough stmts (sources rewritten; reading an
+        # array subgraph's outputs makes the stmt group-aware so fan-in
+        # becomes a per-outer-instance segment sum)
         for stmt in passthrough:
-            f._connections.append({**stmt, "src": rewrite(stmt["src"],
-                                                          None)})
+            _emit(stmt, stmt["src"], None, stmt.get("group", 1))
 
         # emit inner stmts (prefixed; graph inputs substituted)
         for sub_name in subs:
             sub = sub_flat[sub_name]
+            g_outer = self._nodes[sub_name].count
             for istmt in sub._connections:
                 dst = istmt["dst"]
                 if isinstance(dst, tuple):
                     continue  # inner graph-output assignment: inlined
+                if dst.index is not None and g_outer > 1 \
+                        and sub._nodes[dst.node].count > 1:
+                    raise GraphError(
+                        f"indexed destination '{dst.node}[{dst.index}]' "
+                        f"inside array subgraph '{sub_name}' is "
+                        f"unsupported")
                 new_dst = EndpointRef(f"{sub_name}.{dst.node}",
                                       dst.endpoint, dst.index, dst.channel)
                 src = istmt["src"]
                 via = istmt.get("via")
                 if isinstance(via, str):
                     via = f"{sub_name}.{via}"
+                group = g_outer * istmt.get("group", 1)
                 if isinstance(src, EndpointRef) and src.node == "" \
                         and input_kind(sub_name, src.endpoint) == Kind.EVENT:
                     # event routing: one edge per outer event source
                     for ostmt in outer_into.get(
                             (sub_name, src.endpoint), []):
-                        f._connections.append({
-                            "src": rewrite(ostmt["src"], None),
-                            "dst": new_dst, "policy": ostmt["policy"],
-                            "via": None,
-                            "feedback": istmt.get("feedback", False)})
+                        _emit({"dst": new_dst, "policy": ostmt["policy"],
+                               "via": None,
+                               "feedback": istmt.get("feedback", False)},
+                              ostmt["src"], None, group)
                 else:
-                    f._connections.append({
-                        "src": rewrite(src, sub_name), "dst": new_dst,
-                        "policy": istmt["policy"], "via": via,
-                        "feedback": istmt.get("feedback", False)})
+                    _emit({"dst": new_dst, "policy": istmt["policy"],
+                           "via": via,
+                           "feedback": istmt.get("feedback", False)},
+                          src, sub_name, group)
         return f
 
     def get_input_decl(self, name: str) -> GraphInput:
@@ -448,7 +607,12 @@ class Graph:
         ir.inputs = list(self._inputs)
         ir.outputs = list(self._outputs)
         ir.nodes = dict(self._nodes)
-        ir.asset_bindings = list(self._asset_bindings)
+        # a top-level asset-kind graph input is its own publish handle:
+        # ("__input__", n) bindings become an external named n
+        ir.asset_bindings = [
+            (b[0][1] if isinstance(b[0], tuple) else b[0], b[1], b[2])
+            for b in self._asset_bindings]
+        ir.inputs = [i for i in ir.inputs if i.kind != Kind.ASSET]
 
         # Lowering must be idempotent: check() then compile(), or two
         # compiles of the same builder, each get a fresh via-usage set and
@@ -535,12 +699,13 @@ class Graph:
                     "feedback edge requires a feedback-capable node "
                     "(AllowsFeedback) at its destination or source")
             ir.edges.append(IrEdge(src, dst.node, dst.endpoint, dst.index,
-                                   policy, is_feedback=True))
+                                   policy, is_feedback=True,
+                                   group=stmt.get("group", 1)))
             return
 
         if via is None:
             ir.edges.append(IrEdge(src, dst.node, dst.endpoint, dst.index,
-                                   policy))
+                                   policy, group=stmt.get("group", 1)))
             return
 
         # -- delay via (lower.rs:509-655) ---------------------------------
@@ -567,11 +732,13 @@ class Graph:
             self._synth_counter += 1
             ir.nodes[via_name] = IrNodeInst(via_name, Delay(float(n), 0.0))
         # Edge 1: src -> via.input (non-feedback)
-        ir.edges.append(IrEdge(src, via_name, "input", None, policy))
+        ir.edges.append(IrEdge(src, via_name, "input", None, policy,
+                               group=stmt.get("group", 1)))
         # Edge 2: via.output -> dst (feedback)
         ir.edges.append(IrEdge(EndpointRef(via_name, "output"),
                                dst.node, dst.endpoint, dst.index, policy,
-                               is_feedback=True))
+                               is_feedback=True,
+                               group=stmt.get("group", 1)))
 
     # ................................................................. #
     def _endpoint_kind(self, ir: IrGraph, ref: EndpointRef,
@@ -623,6 +790,12 @@ class Graph:
                     diags.append(
                         f"cannot connect {sk.value} source to {dk.value} "
                         f"input ({e.dst_node}.{e.dst_endpoint})")
+                elif dk == Kind.EVENT and e.fanout in (
+                        Fanout.REPEAT, Fanout.SEGMENT_SUM):
+                    diags.append(
+                        f"event edges between differently-sized arrays "
+                        f"inside an array subgraph are unsupported "
+                        f"({e.dst_node}.{e.dst_endpoint})")
                 else:
                     e.kind = dk
             except GraphError as err:
@@ -685,7 +858,12 @@ class Graph:
 
     # ................................................................. #
     def _infer_fanout(self, ir: IrGraph) -> None:
-        """Fanout shapes (ir/graph.rs:48-78) with min-truncation."""
+        """Fanout shapes (ir/graph.rs:48-78) with min-truncation.
+
+        Edges flattened out of array subgraphs carry ``group`` (the
+        outer array factor g); per-outer-instance broadcast/fan-in
+        between counts ``g`` and ``g*m`` lowers to REPEAT/SEGMENT_SUM
+        on the flattened instance axis."""
         for e in ir.edges:
             src_count = 1
             for r in e.source.endpoints():
@@ -699,6 +877,22 @@ class Graph:
                 e.fanout = Fanout.BROADCAST
             elif dst_count == 1:
                 e.fanout = Fanout.FAN_IN
+            elif src_count == dst_count:
+                e.fanout = Fanout.PARALLEL
+            elif e.group > 1 and src_count % e.group == 0 \
+                    and dst_count % e.group == 0:
+                s_i, d_i = src_count // e.group, dst_count // e.group
+                if s_i == 1:
+                    e.fanout = Fanout.REPEAT
+                    e.factor = d_i
+                elif d_i == 1:
+                    e.fanout = Fanout.SEGMENT_SUM
+                    e.factor = s_i
+                else:
+                    raise GraphError(
+                        f"array counts {s_i} -> {d_i} inside an array "
+                        f"subgraph (x{e.group}) must match or be scalar "
+                        f"per instance ('{e.dst_node}.{e.dst_endpoint}')")
             else:
                 e.fanout = Fanout.PARALLEL
 

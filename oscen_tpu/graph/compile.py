@@ -241,6 +241,11 @@ class _Program:
                             v = self._broadcast_to_count(v, inst.count, ep)
                         elif e.fanout == Fanout.PARALLEL:
                             v = self._truncate_parallel(v, inst.count)
+                        elif e.fanout == Fanout.REPEAT:
+                            v = jnp.repeat(jnp.asarray(v), e.factor,
+                                           axis=0)
+                        elif e.fanout == Fanout.SEGMENT_SUM:
+                            v = self._segment_sum(v, e.factor)
                 if e.dst_index is not None:
                     base = val
                     if base is None:
@@ -268,6 +273,10 @@ class _Program:
                 v = self._broadcast_to_count(v, inst.count, ep)
             elif e.fanout == Fanout.PARALLEL:
                 v = self._truncate_parallel(v, inst.count)
+            elif e.fanout == Fanout.REPEAT:
+                v = jnp.repeat(jnp.asarray(v), e.factor, axis=0)
+            elif e.fanout == Fanout.SEGMENT_SUM:
+                v = self._segment_sum(v, e.factor)
         return v
 
     def _default_value(self, inst: IrNodeInst, ep) -> Any:
@@ -284,6 +293,14 @@ class _Program:
     def _truncate_parallel(self, v, count: int) -> Any:
         # min-truncation on count mismatch (ir/graph.rs:48-78)
         return v[:count] if v.shape[0] != count else v
+
+    @staticmethod
+    def _segment_sum(v, factor: int) -> Any:
+        """Per-outer-instance fan-in for arrays flattened out of array
+        subgraphs: (g*m, ...) -> (g, ...) summing each m-segment."""
+        v = jnp.asarray(v)
+        return jnp.reshape(
+            v, (v.shape[0] // factor, factor) + v.shape[1:]).sum(axis=1)
 
 
 # ===================================================================== #

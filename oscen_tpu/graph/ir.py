@@ -110,11 +110,19 @@ class EndpointRef(Expr):
 
 
 class Fanout(enum.Enum):
-    """Edge fanout shape (reference ir/graph.rs:48-78)."""
+    """Edge fanout shape (reference ir/graph.rs:48-78).
+
+    REPEAT / SEGMENT_SUM arise only from flattening node arrays inside
+    array subgraphs (the reference's nested generated structs keep the
+    inner array per outer instance; flattened to one ``g*m`` axis the
+    per-instance broadcast becomes a blockwise repeat and the
+    per-instance fan-in a segment sum)."""
     SCALAR = "scalar"        # 1 -> 1
     PARALLEL = "parallel"    # N -> N (elementwise, min-truncated)
     BROADCAST = "broadcast"  # 1 -> N
     FAN_IN = "fan_in"        # N -> 1 (stream: sum; event: sequential copy)
+    REPEAT = "repeat"        # g -> g*m: per-outer-instance broadcast
+    SEGMENT_SUM = "segment_sum"  # g*m -> g: per-outer-instance fan-in
 
 
 class EdgeKernel(enum.Enum):
@@ -151,6 +159,9 @@ class IrEdge:
     rate_factor: int = 1
     fanout: Fanout = Fanout.SCALAR
     is_feedback: bool = False
+    group: int = 1   # outer array factor when flattened from an array
+                     # subgraph (instance axis is (group, per-instance))
+    factor: int = 1  # REPEAT/SEGMENT_SUM per-instance multiplicity
     # resolved at lowering:
     kind: Optional[Kind] = None
     src_reads_state: bool = False  # feedback edge reading prev-sample value
