@@ -253,6 +253,13 @@ def make_block_fn(prog, block_len: int, shard=None):
         # block-constant (broadcast-of-scalar) — connected-but-idle
         # params then fold like unconnected defaults instead of
         # inflating whole-block math
+        # graph inputs staged as [1] are block-constant THIS TRACE — a
+        # trace-time fact (shape is part of the jit key) that nodes can
+        # exploit to drop runtime param-change branches (see const_eps)
+        const_inputs = {
+            k for k, v in per_block.items()
+            if not k.startswith("__host__")
+            and jnp.ndim(v) >= 1 and v.shape[0] == 1 and B != 1}
         per_block = {
             k: (jnp.broadcast_to(v, (B,) + v.shape[1:])
                 if jnp.ndim(v) >= 1 and v.shape[0] == 1 and B != 1 else v)
@@ -383,6 +390,33 @@ def make_block_fn(prog, block_len: int, shard=None):
                 ins[ep.name] = val
             return ins
 
+        def const_eps(name: str) -> frozenset:
+            """Input endpoints of ``name`` that are provably block-
+            constant at TRACE time: unconnected (default fill) or fed
+            only by plain edges from graph inputs staged as [1]
+            (``const_inputs``).  Nodes whose ``process_block`` takes a
+            ``const_ins`` kwarg receive this set and may compile away
+            runtime param-change branches (e.g. Tremolo's rate-ramp
+            scan)."""
+            inst = ir.nodes[name]
+            out = set()
+            for ep in inst.node.INPUTS:
+                if ep.kind in (Kind.EVENT, Kind.ASSET):
+                    continue
+                edges = prog.edges_by_dst.get((name, ep.name), [])
+                ok = True
+                for e in edges:
+                    if not (isinstance(e.source, EndpointRef)
+                            and e.source.node == ""
+                            and e.source.endpoint in const_inputs
+                            and e.kernel == EdgeKernel.NONE
+                            and not e.is_feedback):
+                        ok = False
+                        break
+                if ok:
+                    out.add(ep.name)
+            return frozenset(out)
+
         def _default_block(inst, ep, B):
             full = ((eff(inst.count),) if inst.count > 1 else ()) \
                 + (B * inst.rate,) + _payload_shape(ep)
@@ -422,7 +456,13 @@ def make_block_fn(prog, block_len: int, shard=None):
                         s, i, ev, sr, Bn),
                     in_axes=(0, 0, 0))(st, ins, evs)
             else:
-                st, outs = node.process_block(st, ins, evs, sr, Bn)
+                import inspect as _inspect
+                if "const_ins" in _inspect.signature(
+                        node.process_block).parameters:
+                    st, outs = node.process_block(
+                        st, ins, evs, sr, Bn, const_ins=const_eps(name))
+                else:
+                    st, outs = node.process_block(st, ins, evs, sr, Bn)
             new_state[name] = st
             for k, v in outs.items():
                 env[(name, k)] = v  # [C, B, ...] / [B, ...]

@@ -183,15 +183,13 @@ class Tremolo(Node):
         return ({"anchor": anchor, "k": k, "dt_last": dt},
                 {"output": out})
 
-    def process_block(self, state, ins, events, sr, block_len):
+    def process_block(self, state, ins, events, sr, block_len,
+                      const_ins=frozenset()):
         B = block_len
         dt = ins["rate"] / sr.hz  # [B]
         K = float(self.K_REBASE)
-        same = jnp.all(dt == state["dt_last"])
 
-        def fast(_):
-            dt0 = dt[0]
-            anchor, k0 = state["anchor"], state["k"]
+        def fast_from(anchor, k0, dt0):
             ks = k0.astype(jnp.float32) + jnp.arange(B, dtype=jnp.float32)
             a2 = self._wrap(anchor + dt0 * K)
             phase = jnp.where(ks < K,
@@ -202,7 +200,40 @@ class Tremolo(Node):
             return (phase,
                     jnp.where(reb, a2, anchor),
                     jnp.where(reb, k_end - self.K_REBASE, k_end),
-                    dt[-1])
+                    dt0)
+
+        # Default OFF: measured SLOWER than the cond form on the flagship
+        # steady path (26.6 vs 24.0 us/block interleaved A/B) — XLA
+        # inserts two [B,1] copies in a degenerate T(1,128) layout when
+        # the phase math inlines into the main loop body, costing more
+        # than the conditional it removed.  Kept for re-evaluation.
+        import os as _os
+        if "rate" in const_ins and \
+                _os.environ.get("OSCEN_TREMOLO_CONST", "0") != "0":
+            # rate is block-constant at TRACE time: the only possible
+            # change is at the block boundary — apply tick's rate-change
+            # anchor rebase once, then the anchored closed form.  No
+            # lax.cond, no scan fallback in the compiled program (the
+            # cond alone costs ~1 µs/block of launch+boundary overhead
+            # on the flagship steady path).  Bit-identical to tick: tick
+            # itself evaluates phase = wrap(anchor + dt·k).
+            dt0 = dt[0]
+            anchor, k0 = state["anchor"], state["k"]
+            changed = jnp.logical_and(dt0 != state["dt_last"], k0 > 0)
+            anchor = jnp.where(
+                changed,
+                self._wrap(anchor + state["dt_last"]
+                           * k0.astype(jnp.float32)), anchor)
+            k0 = jnp.where(changed, 0, k0)
+            phase, anchor, k, dt_last = fast_from(anchor, k0, dt0)
+            out = self._pan(ins["input"], phase, ins["depth"])
+            return ({"anchor": anchor, "k": k, "dt_last": dt_last},
+                    {"output": out})
+
+        same = jnp.all(dt == state["dt_last"])
+
+        def fast(_):
+            return fast_from(state["anchor"], state["k"], dt[0])
 
         def slow(_):
             def step(carry, dt_t):

@@ -52,17 +52,24 @@ INTERP = 64.0
 
 _UNROLL = 8  # minimum block-length granularity for the fused kernel
 
-# v3 (default): v2 structure with the amp plane-selects folded into two
-# FMAs against precomputed delta planes (measured best: ~19.4-21.5
-# µs/block at 256 voices / B=1024, chip-state dependent; v2: 20.1-21.9).
+# v4 (default): v3 with the row pre-pass driven by the closed-form wrap
+# tick (bit-identical to v3; fewer row ops, serial chain cut to
+# mul+select — see _kernel_v4).  With U=128/SUB=64 measures ~18-20
+# µs/block at 256 voices / B=1024, chip-state dependent (v3 at the
+# round-2 defaults: ~19.4-21.9).
 # Rejected via tools/kabl*.py chip ablations (round 3): whole-block row
 # tables gathered by one-hot MXU matmuls (dots cheap at +1.7 µs but the
 # per-tick [1,V] scratch reads cost MORE than the sequential recurrence
 # they replace — the [1,V]->[H,V] broadcast pattern dominates either
 # way); bf16 elementwise math (2.2x SLOWER — Mosaic does not pack bf16
-# on the VPU); bf16 products + block-diag ones MXU reduction (similar).
+# on the VPU); bf16 products + block-diag ones MXU reduction (similar);
+# h-major accumulation with external rotation tables (kabl5: +7 µs —
+# the ~2 MB/block table DMA swamps the saved reduce); [SUB,V] plane-rows
+# via pltpu.roll segmented cumprod + per-tick slices (kabl6 v5: +4.8 µs
+# — slice/broadcast consumption costs more than the serial rows).
+# v3: the round-2/3 kernel (per-tick 2-FMA amp, sequential row ops).
 # v2: the round-2 kernel (per-tick plane selects + sequential row ops).
-_KERNEL_VERSION = os.environ.get("OSCEN_ADDITIVE_KERNEL", "v3")
+_KERNEL_VERSION = os.environ.get("OSCEN_ADDITIVE_KERNEL", "v4")
 
 
 def _kernel(U, SUB, with_mix, or_ref, oi_ref, mr_ref, mi_ref, cur_ref,
@@ -240,6 +247,102 @@ def _kernel_v3(U, SUB, with_mix, or_ref, oi_ref, mr_ref,
     step_o[:] = s
 
 
+def _kernel_v4(U, SUB, with_mix, or_ref, oi_ref, mr_ref,
+               mi_ref, cur_ref, tgt_ref, mult_ref, step_ref, y_ref, or_o,
+               oi_o, cur_o, tgt_o, step_o):
+    # v4 = v3 with the row pre-pass restructured around the wrap tick.
+    # v3 carries the step counter s through a per-tick select chain
+    # (wrap compare, logical-or, s-update selects) and threads the
+    # envelope product p through a 5-op serial dependency per tick —
+    # measured 4.4 us of the 21.9 us kernel (tools/kabl4.py: norows).
+    # v4 computes the subgroup's wrap tick once (jw = (65 - s0) mod 65;
+    # the cycle period is 65 so SUB <= 65 sees at most one wrap) and
+    # derives every per-tick row from the STATIC tick index j:
+    #   wf_j = j >= jw                    (one compare)
+    #   f_j  = (63 - j)/64 - s0/64 + wf_j * 65/64
+    #   p_j  = j == jw ? 63/64 : p_{j-1} * f_j
+    #   amp  = r2_j*G1 + (r1_j*D + tgt)   (identical fp expression to v3)
+    # All f_j terms are multiples of 1/64 with magnitude < 2, so the
+    # arithmetic is exact in f32 and v4 is BIT-IDENTICAL to v3 (asserted
+    # in tests/test_pallas.py); the serial chain shrinks to mul+select.
+    mr = mr_ref[:]
+    mi = mi_ref[:]
+    mult = mult_ref[:]
+    B = y_ref.shape[0]
+
+    mjr = [mr]
+    mji = [mi]
+    for _ in range(SUB - 1):
+        pr, pi = mjr[-1], mji[-1]
+        mjr.append(pr * mr - pi * mi)
+        mji.append(pr * mi + pi * mr)
+    msr, msi = mjr[SUB - 1], mji[SUB - 1]
+    mji3 = [m * 3.0 for m in mji]
+    mjr3 = [m * 3.0 for m in mjr]
+
+    C = 63.0 / 64.0
+
+    def subgroup(carry):
+        zr, zi, tgt, D, p, s = carry
+        tgtm = tgt * mult        # next cycle's target, if a wrap occurs
+        G1 = tgtm - tgt
+        at0 = s == 0.0
+        jw = jnp.where(at0, 0.0, 65.0 - s)     # wrap tick (may be > SUB)
+        basef = s * (-1.0 / 64.0)
+        addf = jnp.where(at0, 0.0, 65.0 / 64.0)
+        zero = jnp.zeros_like(s)
+        rows = []
+        for j in range(SUB):
+            wfb = jw <= float(j)
+            cjb = basef + (63.0 - j) / 64.0
+            f = cjb + jnp.where(wfb, addf, zero)
+            p = jnp.where(jw == float(j), C, p * f)
+            r1 = jnp.where(wfb, zero, p)
+            r2 = jnp.where(wfb, 1.0 - p, zero)
+            amp = r2 * G1 + (r1 * D + tgt)
+            im = zr * mji3[j] + zi * mjr3[j]
+            rows.append(jnp.sum(im * amp, axis=0, keepdims=True))
+            last_amp = amp
+        zr, zi = zr * msr - zi * msi, zr * msi + zi * msr
+        w_last = jw <= float(SUB - 1)
+        tgt = jnp.where(w_last, tgtm, tgt)
+        D = jnp.where(w_last, -G1, D)
+        # the step counter cycles 0..64 (period 65); s0 <= 64 and
+        # SUB <= 64 so one conditional subtract is a full mod
+        t = s + float(SUB)
+        s = jnp.where(t >= 65.0, t - 65.0, t)
+        return (zr, zi, tgt, D, p, s), rows, last_amp
+
+    def body(i, carry):
+        carry, cur_last = carry
+        all_rows = []
+        for _ in range(U // SUB):
+            carry, rows, cur_last = subgroup(carry)
+            all_rows.extend(rows)
+        Y = jnp.concatenate(all_rows, axis=0)
+        if with_mix:
+            y_ref[pl.ds(i * U, U), :] = jnp.sum(Y, axis=1, keepdims=True)
+        else:
+            y_ref[pl.ds(i * U, U), :] = Y
+        return (carry, cur_last)
+
+    zr0 = or_ref[:]
+    zi0 = oi_ref[:]
+    cur0 = cur_ref[:]
+    s0 = step_ref[:]
+    tgt0 = jnp.where(s0 == 0.0, cur0, tgt_ref[:])
+    D0 = cur0 - tgt0
+    p0 = jnp.ones_like(s0)
+    (carry, cur_last) = jax.lax.fori_loop(
+        0, B // U, body, ((zr0, zi0, tgt0, D0, p0, s0), cur0))
+    zr, zi, tgt, D, p, s = carry
+    or_o[:] = zr
+    oi_o[:] = zi
+    cur_o[:] = cur_last
+    tgt_o[:] = tgt
+    step_o[:] = s
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_len", "interpret", "with_mix"))
 def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
@@ -269,10 +372,14 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
                        ((0, 0), (0, padV)))
     Hp, Vp = H + padH, V + padV
 
+    # U=128/SUB=64 measured best for v4 (tools/kabl6.py: -1.3 us median
+    # vs U=64/SUB=32; U=128 is bit-exact, SUB=64 moves the subgroup
+    # anchor — 1.3e-6 relative deviation, inside the documented budget).
+    # The old v1 kernel regressed at U=128 (code size); v4 does not.
     U = pick_unroll(block_len,
                     max_u=int(os.environ.get("OSCEN_ADDITIVE_UNROLL",
-                                             "64")))
-    SUB = min(U, int(os.environ.get("OSCEN_ADDITIVE_SUB", "32")))
+                                             "128")))
+    SUB = min(U, min(64, int(os.environ.get("OSCEN_ADDITIVE_SUB", "64"))))
 
     # grid over voice tiles: keeps VMEM bounded for large voice counts
     # (each tile's state/output is independent — voices don't interact)
@@ -295,9 +402,10 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
     else:
         y_shape = jax.ShapeDtypeStruct((block_len, Vp), jnp.float32)
         y_spec = vspec(block_len)
-    if _KERNEL_VERSION == "v3":
+    if _KERNEL_VERSION in ("v3", "v4"):
+        kern = _kernel_v4 if _KERNEL_VERSION == "v4" else _kernel_v3
         y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
-            functools.partial(_kernel_v3, U, SUB, with_mix),
+            functools.partial(kern, U, SUB, with_mix),
             grid=(n_tiles,),
             out_shape=(
                 y_shape,

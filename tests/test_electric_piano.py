@@ -246,3 +246,52 @@ def test_fused_voice_partial_blocks():
     assert out.shape == (990, 2)
     assert np.all(np.isfinite(out))
     assert np.abs(out).max() > 0.01
+
+
+def test_additive_kernel_v4_bitexact_v3():
+    """v4 (closed-form wrap-tick rows) is BIT-identical to v3: every
+    f_j term is a multiple of 1/64 with magnitude < 2, so the
+    restructured row arithmetic is exact in f32 and the amp expression
+    is unchanged.  Chains 3 blocks to exercise the p/s state carry and
+    forces the s0 edge cases (0, 64, subgroup-boundary crossing) into
+    specific lanes."""
+    import jax
+    import jax.numpy as jnp
+    import oscen_tpu.ops.pallas.additive as add
+
+    H, V, B = 32, 8, 256
+    rng = np.random.default_rng(0)
+    osc_re = jnp.asarray(rng.normal(size=(H, V)), jnp.float32)
+    osc_im = jnp.asarray(rng.normal(size=(H, V)), jnp.float32)
+    th = rng.uniform(0, 0.2, (H, V))
+    mul_re = jnp.asarray(np.cos(th), jnp.float32)
+    mul_im = jnp.asarray(np.sin(th), jnp.float32)
+    cur = jnp.asarray(rng.uniform(0, 1, (H, V)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(0, 1, (H, V)), jnp.float32)
+    mult = jnp.asarray(rng.uniform(0.9, 1.0, (H, V)), jnp.float32)
+    step = jnp.asarray(rng.integers(0, 65, (V,)), jnp.float32)
+    step = step.at[0].set(0.0).at[1].set(64.0).at[2].set(33.0)
+
+    saved = add._KERNEL_VERSION
+    try:
+        outs = {}
+        for ver in ("v3", "v4"):
+            add._KERNEL_VERSION = ver
+            add.additive_voice_block.clear_cache()
+            o_re, o_im, c, t, s = osc_re, osc_im, cur, tgt, step
+            ys = []
+            for _ in range(3):
+                y, o_re, o_im, c, t, s = add.additive_voice_block(
+                    o_re, o_im, mul_re, mul_im, c, t, mult, s,
+                    block_len=B, interpret=True)
+                ys.append(np.asarray(y))
+            outs[ver] = (np.concatenate(ys),
+                         [np.asarray(x) for x in (o_re, o_im, c, t, s)])
+    finally:
+        add._KERNEL_VERSION = saved
+        add.additive_voice_block.clear_cache()
+    y3, s3 = outs["v3"]
+    y4, s4 = outs["v4"]
+    assert np.array_equal(y3, y4)
+    for a, b in zip(s3, s4):
+        assert np.array_equal(a, b)
