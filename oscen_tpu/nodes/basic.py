@@ -183,6 +183,48 @@ class Tremolo(Node):
         return ({"anchor": anchor, "k": k, "dt_last": dt},
                 {"output": out})
 
+    def kernel_epilogue(self, state, vals, sr, block_len):
+        """Stream-epilogue fusion protocol (graph/block_mode.py): when
+        this node's only stream input is a producer's fused voice
+        mixdown and its value inputs are block-constant, the compiler
+        runs the per-sample pan INSIDE the producer's Pallas kernel.
+        Returns ``(C, fn, params, new_state)``; ``fn(mix [U,1], t0,
+        p_ref) -> [U, C]`` must use only the SMEM params row.  The
+        phase/rebase state advance happens here (closed form, same
+        arithmetic as the block fast path)."""
+        dt0 = vals["rate"] / sr.hz
+        K = float(self.K_REBASE)
+        anchor, k0 = state["anchor"], state["k"]
+        changed = jnp.logical_and(dt0 != state["dt_last"], k0 > 0)
+        anchor = jnp.where(
+            changed,
+            self._wrap(anchor + state["dt_last"]
+                       * k0.astype(jnp.float32)), anchor)
+        k0 = jnp.where(changed, 0, k0)
+        a2 = self._wrap(anchor + dt0 * K)
+        k_end = k0 + block_len
+        reb = k_end >= self.K_REBASE
+        new_state = {"anchor": jnp.where(reb, a2, anchor),
+                     "k": jnp.where(reb, k_end - self.K_REBASE, k_end),
+                     "dt_last": dt0}
+        params = jnp.stack([anchor, k0.astype(jnp.float32), dt0,
+                            vals["depth"], a2])
+        return 2, Tremolo._epilogue_fn, params, new_state
+
+    @staticmethod
+    def _epilogue_fn(mix, t0, p):
+        # p (SMEM row): [anchor, k0, dt, depth, a2]
+        U = mix.shape[0]
+        K = float(Tremolo.K_REBASE)
+        t0f = jnp.asarray(t0).astype(jnp.float32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (U, 1), 0).astype(
+            jnp.float32)
+        ks = p[1] + (iota + t0f)
+        ph = jnp.where(ks < K, p[0] + p[2] * ks, p[4] + p[2] * (ks - K))
+        ph = ph - jnp.floor(ph)
+        pan = 0.5 + jnp.sin(ph * TAU) * (p[3] / 3.0)
+        return jnp.concatenate([mix * pan, mix * (1.0 - pan)], axis=1)
+
     def process_block(self, state, ins, events, sr, block_len,
                       const_ins=frozenset()):
         B = block_len

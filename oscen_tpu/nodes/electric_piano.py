@@ -440,18 +440,27 @@ class ElectricPianoVoice(Node):
                 {"output": out["output"]})
 
     def process_block_batched(self, state, ins, events, sr, block_len,
-                              fanin_eps=frozenset()):
+                              fanin_eps=frozenset(), epilogue=None):
         """All voices through ONE fused Pallas kernel (TPU, no events).
 
         When the compiler marks ``output`` as fan-in-only (its sole
         consumers sum over all voices), the mixdown is fused into the
-        kernel and only the summed audio leaves VMEM."""
-        from ..ops.pallas.additive import _UNROLL, additive_voice_block
+        kernel and only the summed audio leaves VMEM.  ``epilogue``
+        (``(ep, C, fn, params)``, see block_mode stream-epilogue fusion)
+        additionally runs the mix's single consumer inside the kernel;
+        the stereo/etc result returns as ``__epi__<ep>``."""
+        from ..ops.pallas.additive import (_UNROLL, additive_voice_block,
+                                           epilogue_supported)
         from ..ops.pallas.util import pallas_mode
         use, interp = pallas_mode()
         if not use or block_len % _UNROLL:
             return None
         with_mix = "output" in fanin_eps
+        num_voices = ins["frequency"].shape[0]
+        if epilogue is not None and not (
+                with_mix and epilogue[0] == "output"
+                and epilogue_supported(num_voices)):
+            epilogue = None
 
         bank = state["bank"]
         amp = state["amp"]
@@ -469,11 +478,16 @@ class ElectricPianoVoice(Node):
 
         mult = jnp.where(amp["released"][:, None], amp["release"],
                          amp["decay"])
+        epi_kw = {}
+        if epilogue is not None:
+            _, epi_c, epi_fn, epi_params = epilogue
+            epi_kw = dict(epi_fn=epi_fn, epi_c=epi_c,
+                          epi_params=epi_params)
         y, or_o, oi_o, cur_o, tgt_o, step_o = additive_voice_block(
             ore.T, oim.T, mre.T, mim.T,
             amp["current"].T, amp["target"].T, mult.T,
             amp["step"], block_len, with_mix=with_mix,
-            interpret=interp)
+            interpret=interp, **epi_kw)
         new_state = {
             "bank": {**bank, "osc_re": or_o.T, "osc_im": oi_o.T,
                      "mul_re": mre, "mul_im": mim,
@@ -481,6 +495,9 @@ class ElectricPianoVoice(Node):
             "amp": {**amp, "current": cur_o.T, "target": tgt_o.T,
                     "step": step_o.astype(jnp.int32)},
         }
+        if epilogue is not None:
+            # y [B, C]: the consumer's output, computed in-kernel
+            return new_state, {"__epi__output": y}
         if with_mix:
             return new_state, {"__fanin__output": y}  # [B], pre-summed
         return new_state, {"output": y.T}

@@ -247,9 +247,20 @@ def _kernel_v3(U, SUB, with_mix, or_ref, oi_ref, mr_ref,
     step_o[:] = s
 
 
-def _kernel_v4(U, SUB, with_mix, or_ref, oi_ref, mr_ref,
-               mi_ref, cur_ref, tgt_ref, mult_ref, step_ref, y_ref, or_o,
-               oi_o, cur_o, tgt_o, step_o):
+def _kernel_v4(U, SUB, with_mix, epi_fn, *refs):
+    # epi_fn: optional stream epilogue fused onto the voice mixdown —
+    # a static fn(mix_rows [U,1], t0, p_ref) -> [U, C] applied per body
+    # (the consumer node's per-sample math, e.g. Tremolo's stereo pan;
+    # see graph/block_mode.py epilogue fusion).  p_ref is an SMEM row of
+    # its block-constant parameters, threaded as the 9th operand.
+    if epi_fn is not None:
+        (or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
+         step_ref, epi_ref, y_ref, or_o, oi_o, cur_o, tgt_o,
+         step_o) = refs
+    else:
+        (or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
+         step_ref, y_ref, or_o, oi_o, cur_o, tgt_o, step_o) = refs
+        epi_ref = None
     # v4 = v3 with the row pre-pass restructured around the wrap tick.
     # v3 carries the step counter s through a per-tick select chain
     # (wrap compare, logical-or, s-update selects) and threads the
@@ -321,7 +332,11 @@ def _kernel_v4(U, SUB, with_mix, or_ref, oi_ref, mr_ref,
             all_rows.extend(rows)
         Y = jnp.concatenate(all_rows, axis=0)
         if with_mix:
-            y_ref[pl.ds(i * U, U), :] = jnp.sum(Y, axis=1, keepdims=True)
+            mix = jnp.sum(Y, axis=1, keepdims=True)
+            if epi_fn is not None:
+                y_ref[pl.ds(i * U, U), :] = epi_fn(mix, i * U, epi_ref)
+            else:
+                y_ref[pl.ds(i * U, U), :] = mix
         else:
             y_ref[pl.ds(i * U, U), :] = Y
         return (carry, cur_last)
@@ -343,11 +358,21 @@ def _kernel_v4(U, SUB, with_mix, or_ref, oi_ref, mr_ref,
     step_o[:] = s
 
 
+def epilogue_supported(num_voices: int) -> bool:
+    """True when the voice count fits one kernel tile (the stream
+    epilogue writes the single [B, C] output; multi-tile grids emit
+    per-tile partial mixes instead)."""
+    Vp = num_voices + ((-num_voices) % 128)
+    return Vp <= int(os.environ.get("OSCEN_ADDITIVE_TILE", "256"))
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("block_len", "interpret", "with_mix"))
+                   static_argnames=("block_len", "interpret", "with_mix",
+                                    "epi_fn", "epi_c"))
 def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
                          step, block_len: int, interpret: bool = False,
-                         with_mix: bool = False):
+                         with_mix: bool = False, epi_fn=None,
+                         epi_c: int = 0, epi_params=None):
     """One steady-state block of the fused additive voice.
 
     Args (all ``[H, V]`` except ``step`` ``[V]``): oscillator complex
@@ -356,6 +381,13 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
     Returns (y ``[B, V]``, new osc_re, osc_im, cur, tgt, step) — or, with
     ``with_mix``, y is the voice-summed mix ``[B]`` (the graph's FanIn
     edge fused into the kernel).
+
+    ``epi_fn``/``epi_c``/``epi_params``: optional stream epilogue fused
+    after the mixdown (requires ``with_mix`` and a single voice tile —
+    check :func:`epilogue_supported`): a static
+    ``fn(mix [U,1], t0, p_ref) -> [U, epi_c]`` evaluated inside the
+    kernel with ``p_ref`` an SMEM row holding ``epi_params`` (the
+    consumer node's block-constant parameters).  y becomes ``[B, epi_c]``.
     """
     if block_len % _UNROLL:
         raise ValueError(
@@ -394,29 +426,49 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
+    if epi_fn is not None and (not with_mix or n_tiles != 1):
+        raise ValueError("epilogue fusion requires with_mix and one "
+                         "voice tile (see epilogue_supported)")
+
     plane = jax.ShapeDtypeStruct((Hp, Vp), jnp.float32)
-    if with_mix:
+    if with_mix and epi_fn is not None:
+        y_shape = jax.ShapeDtypeStruct((block_len, epi_c), jnp.float32)
+        y_spec = pl.BlockSpec((block_len, epi_c), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    elif with_mix:
         y_shape = jax.ShapeDtypeStruct((block_len, n_tiles), jnp.float32)
         y_spec = pl.BlockSpec((block_len, 1), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
     else:
         y_shape = jax.ShapeDtypeStruct((block_len, Vp), jnp.float32)
         y_spec = vspec(block_len)
-    if _KERNEL_VERSION in ("v3", "v4"):
-        kern = _kernel_v4 if _KERNEL_VERSION == "v4" else _kernel_v3
+    if _KERNEL_VERSION in ("v3", "v4") or epi_fn is not None:
+        if _KERNEL_VERSION == "v3" and epi_fn is None:
+            kern = functools.partial(_kernel_v3, U, SUB, with_mix)
+        else:
+            kern = functools.partial(_kernel_v4, U, SUB, with_mix, epi_fn)
+        extra_in = []
+        extra_specs = []
+        if epi_fn is not None:
+            extra_in = [jnp.asarray(epi_params, jnp.float32)]
+            extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
         y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
-            functools.partial(kern, U, SUB, with_mix),
+            kern,
             grid=(n_tiles,),
             out_shape=(
                 y_shape,
                 plane, plane, plane, plane,
                 jax.ShapeDtypeStruct((1, Vp), jnp.float32),
             ),
-            in_specs=[vspec(Hp)] * 7 + [vspec(1)],
+            in_specs=[vspec(Hp)] * 7 + [vspec(1)] + extra_specs,
             out_specs=(y_spec,) + (vspec(Hp),) * 4 + (vspec(1),),
+            # alias the state planes input->output: without this XLA
+            # copies [H,V] planes per block to thread the scan carry
+            # (2 copies visible in the steady loop body)
+            input_output_aliases={0: 1, 1: 2, 4: 3, 5: 4, 7: 5},
             interpret=interpret,
         )(pad(osc_re), pad(osc_im), pad(mul_re), pad(mul_im),
-          pad(cur), pad(tgt), pad(mult), step_row)
+          pad(cur), pad(tgt), pad(mult), step_row, *extra_in)
     else:
         y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
             functools.partial(_kernel, U, SUB, with_mix),
@@ -431,7 +483,9 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
             interpret=interpret,
         )(pad(osc_re), pad(osc_im), pad(mul_re), pad(mul_im), pad(cur),
           pad(tgt), pad(mult), step_row)
-    if with_mix:
+    if with_mix and epi_fn is not None:
+        y_out = y                   # [B, epi_c] (epilogue output)
+    elif with_mix:
         y_out = jnp.sum(y, axis=1)  # [B] (partial tile sums)
     else:
         y_out = y[:, :V]

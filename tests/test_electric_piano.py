@@ -295,3 +295,32 @@ def test_additive_kernel_v4_bitexact_v3():
     assert np.array_equal(y3, y4)
     for a, b in zip(s3, s4):
         assert np.array_equal(a, b)
+
+
+def test_tremolo_epilogue_fusion_parity(monkeypatch):
+    """Stream-epilogue fusion (tremolo pan inside the fused voice
+    kernel) is bit-identical to the composed path, including a tremolo
+    rate change (anchor rebase) and the fallback when the rate ramps."""
+    monkeypatch.setenv("OSCEN_PALLAS_INTERPRET", "1")
+
+    def run(fused):
+        monkeypatch.setenv("OSCEN_EPILOGUE_FUSION", "1" if fused else "0")
+        g = build_electric_piano(4)
+        s = g.compile(sample_rate=48000.0, block_size=256, mode="block")
+        for i in range(4):
+            s.queue_event("midi_in", 0, raw_midi_event([0x90, 50 + 5 * i,
+                                                        100]))
+        out = s.render(1536)["out"]
+        s.set_value("vibrato_speed", 8.0)   # boundary rate change
+        out2 = s.render(512)["out"]
+        s.set_value_with_ramp("vibrato_speed", 3.0, 300)    # ramping:
+        out3 = s.render(512)["out"]         # [B]-staged -> fusion off
+        return np.concatenate([out, out2, out3]), s
+
+    a, sa = run(True)
+    b, sb = run(False)
+    np.testing.assert_array_equal(a, b)
+    ta, tb = sa.node_state("tremolo"), sb.node_state("tremolo")
+    for k in ta:
+        np.testing.assert_allclose(np.asarray(ta[k]), np.asarray(tb[k]),
+                                   atol=1e-6)
