@@ -21,7 +21,7 @@ from .graph.builder import Frame, Graph, GraphError, call
 from .graph.dsl import parse_graph
 from .graph.node import HostNode, Node
 from .nodes.basic import (AddValue, AudioInput, Crossfade, FmOperator, Gain,
-                          HardClip, Mixer, Tremolo, Value, Vca)
+                          HardClip, Mixer, MulAdd, Tremolo, Value, Vca)
 from .assets import AssetError, AudioAsset
 from .nodes.convolver import Convolver
 from .nodes.delay import Delay
@@ -44,7 +44,8 @@ __all__ = [
     "EventPassthrough", "FloatParam", "FmOperator", "Frame", "Gain",
     "Graph", "NihParams", "nih_params",
     "GraphError", "HardClip", "HostNode", "IirLowpass", "Kind",
-    "LP18Filter", "MidiParser", "MidiVoiceHandler", "Mixer", "Node",
+    "LP18Filter", "MidiParser", "MidiVoiceHandler", "Mixer", "MulAdd",
+    "Node",
     "NoteOffEvent", "NoteOnEvent", "Oscillator", "Oscilloscope",
     "ParamSpec",
     "PolyBlepOscillator", "Policy", "RawMidiMessage", "SampleRate",

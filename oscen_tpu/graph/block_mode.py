@@ -505,6 +505,8 @@ def make_block_fn(prog, block_len: int, shard=None):
                 kw = {}
                 if "fanin_eps" in sig.parameters:
                     kw["fanin_eps"] = fanin_only.get(name, frozenset())
+                if "const_ins" in sig.parameters:
+                    kw["const_ins"] = const_eps(name)
                 if epi is not None:
                     kw["epilogue"] = (epi[0], epi[2], epi[3], epi[4])
                 batched = node.process_block_batched(

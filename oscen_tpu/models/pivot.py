@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from ..core.types import SampleRate, stream, value
 from ..graph.builder import Graph
 from ..graph.node import Node
-from ..nodes.basic import AddValue, Crossfade, FmOperator, Gain, Mixer, Vca
+from ..nodes.basic import (AddValue, Crossfade, FmOperator, Gain, Mixer,
+                           MulAdd, Vca)
 from ..nodes.envelope import AdsrEnvelope
 from ..nodes.filters import TptFilter
 from ..nodes.midi import MidiParser, MidiVoiceHandler
@@ -156,8 +157,10 @@ def build_pivot_voice_fused() -> Graph:
         ("op1", 0.01, 0.2, 0.8, 0.5),
         ("filt", 0.01, 0.2, 0.5, 0.3),
     ]))
-    f_gain = g.add("filter_env_gain", Gain(0.0))
-    cutoff_mod = g.add("cutoff_mod", AddValue(2000.0))
+    # Gain(amount) -> AddValue(cutoff) fused into one MulAdd (identical
+    # fp math; the composed pair is the reference structure and remains
+    # in build_pivot_voice, equivalence-tested)
+    cutoff_mod = g.add("cutoff_mod", MulAdd(0.0, 2000.0))
     chain = g.add("ops", PivotOperatorChain())
     filt = g.add("filter", TptFilter(2000.0, 0.707))
     out_g = g.add("output_gain", Gain(0.3))
@@ -169,9 +172,8 @@ def build_pivot_voice_fused() -> Graph:
     for k in ("attack", "decay", "sustain", "release"):
         g.connect(f"filter_{k}", f"envs.filt_{k}")
 
-    g.connect(envs.filt, f_gain.input)
-    g.connect("filter_env_amount", f_gain.gain)
-    g.connect(f_gain.output, cutoff_mod.input)
+    g.connect(envs.filt, cutoff_mod.input)
+    g.connect("filter_env_amount", cutoff_mod.gain)
     g.connect("cutoff", cutoff_mod.value)
     g.connect(cutoff_mod.output, filt.cutoff)
 

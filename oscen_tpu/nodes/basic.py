@@ -130,6 +130,25 @@ class AddValue(_StatelessNode):
         return state, {"output": ins["input"] + ins["value"]}
 
 
+class MulAdd(_StatelessNode):
+    """``out = in·gain + value`` — a Gain→AddValue pair fused into one
+    node (identical fp ops/order, one fewer [C, B] intermediate; used by
+    the fused pivot voice's filter-env cutoff modulation,
+    pivot_voice.rs:126-130, which composes Gain + AddValue)."""
+
+    INPUTS = (stream("input", 0.0), value("gain", 1.0),
+              value("value", 0.0))
+    OUTPUTS = (stream("output"),)
+
+    def __init__(self, gain: float = 1.0, v: float = 0.0):
+        self.INPUTS = (stream("input", 0.0), value("gain", float(gain)),
+                       value("value", float(v)))
+
+    def tick(self, state, ins, sr):
+        return state, {"output": ins["input"] * ins["gain"]
+                       + ins["value"]}
+
+
 class Tremolo(Node):
     """Mono→stereo constant-power pan LFO (reference
     examples/electric-piano/src/tremolo.rs:8-60).

@@ -19,6 +19,7 @@ reassociation.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -164,7 +165,8 @@ class TptFilter(Node):
                      "z0": z0n, "z1": z1n}
         return new_state, {"output": y}
 
-    def process_block_batched(self, state, ins, events, sr, block_len):
+    def process_block_batched(self, state, ins, events, sr, block_len,
+                              const_ins=frozenset()):
         """Voice-batched block path: ONE Pallas kernel over all instances
         (sequential-in-time, voices in lanes — exact reference op order,
         ops/pallas/iir.py).  Only used by the block-mode compiler on TPU
@@ -187,39 +189,66 @@ class TptFilter(Node):
         # Hoist the per-sample tan out of the coefficient recompute when
         # every parameter row is block-constant (the common case: UI
         # params, or a settled filter envelope) — one [C] coefficient set
-        # broadcast instead of a [C, B] transcendental sweep.  The
-        # per-sample path remains for modulated cutoffs, selected at
-        # runtime (lax.cond keeps both compiled).
-        C = ins["input"].shape[0]
+        # instead of a [C, B] transcendental sweep.  The per-sample path
+        # remains for modulated cutoffs, selected at runtime.  Each
+        # branch makes its OWN pallas call: the kernel takes [V] row
+        # coefficients on the fast branch, so no [C, B] coefficient
+        # arrays cross the cond boundary — returning the coefficients
+        # from the cond and calling one sweep-shaped kernel outside
+        # materialized 6 [C, B] planes + transposes per block and
+        # measured ~5 µs of pure overhead even when the fast branch ran
+        # (tools/pivotabl.py; pivot: 65 → ~58 µs/block).
         param_keys = ("cutoff", "q", "f_mod")
+        # trace-time constant params (const staging, [1]-shaped graph
+        # inputs) need no runtime check and no [C,B] form at all — with
+        # every param trace-constant the cond disappears entirely (the
+        # fm-synth / poly-synth / UI-knob case)
+        rt_keys = tuple(k for k in param_keys if k not in const_ins)
+        row0 = {kkey: ins[kkey][:, 0] for kkey in param_keys}  # [C]
+        C = ins["input"].shape[0]
         const = jnp.bool_(True)
-        for kkey in param_keys:
+        for kkey in rt_keys:
             const = jnp.logical_and(
                 const, jnp.all(ins[kkey] == ins[kkey][:, :1]))
-        bcast_keys = ("current_cutoff", "current_q", "h", "g", "r", "k")
+        fin_keys = ("current_cutoff", "current_q", "h", "g", "r", "k")
+        x = jnp.moveaxis(ins["input"], 0, 1)  # [B, C]
 
         def fast(_):
-            p0 = {kkey: ins[kkey][:, 0] for kkey in param_keys}
-            st1 = self._apply_parameter_updates(state, p0, sr.hz)
-            return {kkey: jnp.broadcast_to(st1[kkey][:, None], (C, B))
-                    for kkey in bcast_keys}
+            st1 = self._apply_parameter_updates(state, row0, sr.hz)
+            y, z0, z1 = tpt_svf_scan(
+                x, st1["h"], st1["g"], st1["k"],
+                state["z0"], state["z1"], interpret=interp)
+            return (y, z0, z1) + tuple(st1[kkey] for kkey in fin_keys)
 
         def slow(_):
-            st1 = jax.vmap(coefs)(state, ins)
-            return {kkey: st1[kkey] for kkey in bcast_keys}
+            # broadcast the trace-constant rows INSIDE the branch so
+            # only genuinely varying [C,B] arrays are cond operands
+            insl = {kkey: (jnp.broadcast_to(row0[kkey][:, None], (C, B))
+                           if kkey in const_ins else ins[kkey])
+                    for kkey in param_keys}
+            st1 = jax.vmap(coefs)(state, insl)
+            y, z0, z1 = tpt_svf_scan(
+                x, jnp.moveaxis(st1["h"], 0, 1),
+                jnp.moveaxis(st1["g"], 0, 1),
+                jnp.moveaxis(st1["k"], 0, 1),
+                state["z0"], state["z1"], interpret=interp)
+            return (y, z0, z1) + tuple(st1[kkey][:, -1]
+                                       for kkey in fin_keys)
 
-        st2 = jax.lax.cond(const, fast, slow, operand=None)
-        x = jnp.moveaxis(ins["input"], 0, 1)  # [B, C]
-        y, z0, z1 = tpt_svf_scan(
-            x, jnp.moveaxis(st2["h"], 0, 1), jnp.moveaxis(st2["g"], 0, 1),
-            jnp.moveaxis(st2["k"], 0, 1), state["z0"], state["z1"],
-            interpret=interp)
-        new_state = {**state,
-                     "current_cutoff": st2["current_cutoff"][:, -1],
-                     "current_q": st2["current_q"][:, -1],
-                     "h": st2["h"][:, -1], "g": st2["g"][:, -1],
-                     "r": st2["r"][:, -1], "k": st2["k"][:, -1],
-                     "z0": z0, "z1": z1}
+        # OSCEN_TPT_COEF: 'cond' (default — runtime constant check picks
+        # the hoisted path), 'slow' (always per-sample sweep), 'fast'
+        # (always hoisted — ONLY valid for block-constant params; for
+        # measurement/ablation use)
+        _mode = os.environ.get("OSCEN_TPT_COEF", "cond")
+        if _mode == "slow":
+            out = slow(None)
+        elif _mode == "fast" or not rt_keys:
+            out = fast(None)
+        else:
+            out = jax.lax.cond(const, fast, slow, operand=None)
+        y, z0, z1 = out[0], out[1], out[2]
+        fin = dict(zip(fin_keys, out[3:]))
+        new_state = {**state, **fin, "z0": z0, "z1": z1}
         return new_state, {"output": jnp.moveaxis(y, 0, 1)}
 
 
