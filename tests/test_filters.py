@@ -137,3 +137,98 @@ def test_iir_lowpass_block_matches_tick():
     _, o = jax.jit(lambda s, i: f.process_block(s, i, {}, sr, 200))(
         state, ins)
     np.testing.assert_allclose(np.asarray(o["output"]), seq, atol=5e-5)
+
+
+def test_tpt_batched_const_params_elide_cond(monkeypatch):
+    """When every TPT parameter is trace-time block-constant ([1]-staged
+    graph inputs), the batched path compiles NO lax.cond and NO [C,B]
+    coefficient sweep; a cutoff fed by a time-varying stream keeps the
+    runtime cond.  (The cond used to materialize six [C,B] planes per
+    block — see PERF.md pivot ladder.)"""
+    import jax
+    from oscen_tpu.graph.ir import Kind
+    from oscen_tpu import Graph, PolyBlepOscillator, TptFilter, MulAdd
+    from oscen_tpu.nodes.envelope import AdsrEnvelope
+
+    monkeypatch.setenv("OSCEN_PALLAS_INTERPRET", "1")
+
+    def jaxpr_of(build):
+        g = build()
+        s = g.compile(48000.0, block_size=64, mode="block")
+        B = 64
+        ev_bufs, host_vals = s._host_prepass(B)
+        import jax.numpy as jnp
+        per_block = {}
+        for gi in s.ir.inputs:
+            if gi.kind == Kind.VALUE:
+                per_block[gi.name] = jnp.asarray(
+                    s._params[gi.name].materialize_block(B))
+            elif gi.kind == Kind.STREAM:
+                per_block[gi.name] = jnp.zeros((B,), jnp.float32)
+        for k, arr in host_vals.items():
+            per_block[k] = jnp.asarray(arr)
+        ev_caps = tuple(sorted((k, v.capacity) for k, v in ev_bufs.items()))
+        fn = s._get_block_fn(B, ev_caps, tuple(sorted(per_block)))
+        return str(jax.make_jaxpr(fn)(s.state, per_block, ev_bufs))
+
+    def const_graph():
+        g = Graph("TptConst")
+        g.input("cutoff", "value", default=1200.0)
+        g.output("out", "stream")
+        osc = g.add("osc", PolyBlepOscillator.saw(220.0, 0.5), count=4)
+        f = g.add("filt", TptFilter(1200.0, 0.707), count=4)
+        g.connect("cutoff", f.cutoff)
+        g.connect(osc.output, f.input)
+        g.connect(f.output, "out")
+        return g
+
+    def modulated_graph():
+        g = Graph("TptMod")
+        g.input("cutoff", "value", default=1200.0)
+        g.input("amount", "value", default=500.0)
+        g.input("gate", "event")
+        g.output("out", "stream")
+        osc = g.add("osc", PolyBlepOscillator.saw(220.0, 0.5), count=4)
+        env = g.add("env", AdsrEnvelope(0.01, 0.1, 0.7, 0.2), count=4)
+        mod = g.add("mod", MulAdd(500.0, 1200.0), count=4)
+        f = g.add("filt", TptFilter(1200.0, 0.707), count=4)
+        g.connect("gate", env.gate)
+        g.connect(env.output, mod.input)
+        g.connect("amount", mod.gain)
+        g.connect("cutoff", mod.value)
+        g.connect(mod.output, f.cutoff)
+        g.connect(osc.output, f.input)
+        g.connect(f.output, "out")
+        return g
+
+    assert "cond" not in jaxpr_of(const_graph)
+    assert "cond" in jaxpr_of(modulated_graph)
+
+
+def test_muladd_equals_gain_addvalue():
+    """MulAdd is bit-identical to the Gain -> AddValue pair it fuses."""
+    from oscen_tpu import AddValue, Gain, Graph, MulAdd, PolyBlepOscillator
+
+    def render(fused):
+        g = Graph("MA")
+        g.input("amt", "value", default=0.35)
+        g.input("base", "value", default=2.0)
+        g.output("out", "stream")
+        osc = g.add("osc", PolyBlepOscillator.saw(110.0, 0.8))
+        if fused:
+            m = g.add("m", MulAdd(0.35, 2.0))
+            g.connect(osc.output, m.input)
+            g.connect("amt", m.gain)
+            g.connect("base", m.value)
+            g.connect(m.output, "out")
+        else:
+            ga = g.add("ga", Gain(0.35))
+            ad = g.add("ad", AddValue(2.0))
+            g.connect(osc.output, ga.input)
+            g.connect("amt", ga.gain)
+            g.connect(ga.output, ad.input)
+            g.connect("base", ad.value)
+            g.connect(ad.output, "out")
+        return g.compile(48000.0, block_size=128).render_mono(1024)
+
+    np.testing.assert_array_equal(render(True), render(False))
