@@ -16,6 +16,7 @@ over trailing channel axes.
 
 from __future__ import annotations
 
+import os
 import math
 from typing import Tuple
 
@@ -62,13 +63,31 @@ def _causal_fir(x, hist, taps):
     """Causal FIR along axis 0 with carried history.
 
     ``hist``: [len(taps)-1, ...] previous inputs (most recent last).
-    Returns (y [B,...], new_hist)."""
+    Returns (y [B,...], new_hist).
+
+    Two lowerings, identical math: the default shifted-add form (t
+    slice+FMA ops, XLA fuses the chain) and an ``lax.conv`` form
+    (``OSCEN_FIR_CONV=1``) for A/B on hardware — the saturator pays
+    ~15 µs/block at the 4x sinc boundary and tools/monobench.py
+    attributes whether the FIR lowering or the region machinery is the
+    cost."""
     t = len(taps)
     z = jnp.concatenate([hist, x], axis=0)
-    y = jnp.zeros_like(x)
-    for k in range(t):
-        y = y + taps[k] * jax.lax.slice_in_dim(
-            z, t - 1 - k, t - 1 - k + x.shape[0], axis=0)
+    if os.environ.get("OSCEN_FIR_CONV", "0") == "1" and z.ndim <= 2:
+        flat = z if z.ndim == 2 else z[:, None]          # [B+t-1, C]
+        lhs = jnp.moveaxis(flat, 0, 1)[:, None, :]       # [C, 1, B+t-1]
+        rhs = jnp.asarray(taps, jnp.float32)[::-1][None, None, :]
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,), padding="VALID",
+            precision=jax.lax.Precision.HIGHEST)         # [C, 1, B]
+        y = jnp.moveaxis(out[:, 0, :], 1, 0)
+        y = y if z.ndim == 2 else y[:, 0]
+        y = y.astype(x.dtype)
+    else:
+        y = jnp.zeros_like(x)
+        for k in range(t):
+            y = y + taps[k] * jax.lax.slice_in_dim(
+                z, t - 1 - k, t - 1 - k + x.shape[0], axis=0)
     new_hist = z[-(t - 1):] if t > 1 else hist
     return y, new_hist
 
