@@ -129,4 +129,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The TPU relay occasionally drops mid-session (observed: multi-hour
+    # "backend setup/compile error (Unavailable)" windows).  A transient
+    # failure must not turn the round's one official measurement into a
+    # zero — retry with backoff before giving up.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001 — deliberate catch-all
+            if attempt == 2:
+                raise
+            print(f"[bench attempt {attempt + 1} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]} — retrying in "
+                  f"{60 * (attempt + 1)}s]", file=sys.stderr, flush=True)
+            time.sleep(60 * (attempt + 1))
