@@ -292,13 +292,16 @@ def make_block_fn(prog, block_len: int, shard=None):
         # block-constant (broadcast-of-scalar) — connected-but-idle
         # params then fold like unconnected defaults instead of
         # inflating whole-block math
-        # graph inputs staged as [1] are block-constant THIS TRACE — a
-        # trace-time fact (shape is part of the jit key) that nodes can
-        # exploit to drop runtime param-change branches (see const_eps)
+        # per_block entries staged as [1]-leading are block-constant THIS
+        # TRACE — a trace-time fact (shape is part of the jit key) that
+        # nodes can exploit to drop runtime param-change branches and
+        # hoist per-sample work (see const_eps).  Covers graph inputs
+        # (idle ramps, ValueRampState.materialize_block) and host-node
+        # value outputs (e.g. MidiVoiceHandler frequency in blocks with
+        # no note-on).
         const_inputs = {
             k for k, v in per_block.items()
-            if not k.startswith("__host__")
-            and jnp.ndim(v) >= 1 and v.shape[0] == 1 and B != 1}
+            if jnp.ndim(v) >= 1 and v.shape[0] == 1 and B != 1}
         per_block = {
             k: (jnp.broadcast_to(v, (B,) + v.shape[1:])
                 if jnp.ndim(v) >= 1 and v.shape[0] == 1 and B != 1 else v)
@@ -439,6 +442,15 @@ def make_block_fn(prog, block_len: int, shard=None):
             scan)."""
             inst = ir.nodes[name]
             out = set()
+
+            def src_const(ref) -> bool:
+                if ref.node == "":
+                    return ref.endpoint in const_inputs
+                if ref.node in prog.host_set:
+                    return (f"__host__{ref.node}.{ref.endpoint}"
+                            in const_inputs)
+                return False
+
             for ep in inst.node.INPUTS:
                 if ep.kind in (Kind.EVENT, Kind.ASSET):
                     continue
@@ -446,8 +458,7 @@ def make_block_fn(prog, block_len: int, shard=None):
                 ok = True
                 for e in edges:
                     if not (isinstance(e.source, EndpointRef)
-                            and e.source.node == ""
-                            and e.source.endpoint in const_inputs
+                            and src_const(e.source)
                             and e.kernel == EdgeKernel.NONE
                             and not e.is_feedback):
                         ok = False

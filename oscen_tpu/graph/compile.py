@@ -773,7 +773,15 @@ class CompiledGraph:
                 for ep, evs in all_ev_out.items():
                     ev_env[(name, ep)] = evs  # list of per-instance lists
                 for ep, arrs in all_val_out.items():
-                    # [count, B] -> staged per-sample as [B, count]
+                    # [count, B] -> staged per-sample as [B, count].
+                    # Instances may stage [1] (block-constant) while
+                    # others stage [B] (an event landed): broadcast to
+                    # the longest before stacking — the result is [1, C]
+                    # only when EVERY instance is block-constant.
+                    L = max(a.shape[0] for a in arrs)
+                    if any(a.shape[0] != L for a in arrs):
+                        arrs = [np.broadcast_to(a, (L,) + a.shape[1:])
+                                for a in arrs]
                     val_env[(name, ep)] = np.stack(arrs, axis=-1)
 
         # stage device event buffers

@@ -77,20 +77,28 @@ class FmOperatorChain(Node):
                  "prevs": jnp.stack([y3, y2, y1])},
                 {"output": y1})
 
-    def process_block_batched(self, state, ins, events, sr, block_len):
+    def process_block_batched(self, state, ins, events, sr, block_len,
+                              const_ins=frozenset()):
         from ..ops.pallas.util import pallas_mode
         use, interp = pallas_mode()
         if not use:
             return None
         from ..ops.pallas.fm import fm_chain3_scan
 
-        # dt must be per-sample: the voice allocator retunes base_freq
-        # mid-block at note-on and this node sees no gate event that
-        # would force the fallback path.  Levels/feedback/route are UI
-        # params, hoisted from sample 0 (block-constant assumption).
+        # dt must be per-sample WHEN the voice allocator retunes
+        # base_freq mid-block at note-on (this node sees no gate event
+        # that would force the fallback path).  In event-free blocks the
+        # handler stages frequency as [1] and the compiler marks
+        # base_freq block-constant (const_ins): dt collapses to [3,1,C]
+        # rows and the kernel hoists its per-sample dt reads.
+        # Levels/feedback/route are UI params, hoisted from sample 0.
+        dt_const = {"base_freq", "op3_ratio", "op2_ratio",
+                    "op1_ratio"} <= const_ins
+        tdt = (lambda v: jnp.moveaxis(v[:, :1], 0, 1)) if dt_const \
+            else (lambda v: jnp.moveaxis(v, 0, 1))
         dt = jnp.stack([
-            jnp.moveaxis(ins["base_freq"] * ins[f"op{i}_ratio"], 0, 1)
-            for i in (3, 2, 1)]) / sr.hz                  # [3, B, C]
+            tdt(ins["base_freq"] * ins[f"op{i}_ratio"])
+            for i in (3, 2, 1)]) / sr.hz        # [3, B, C] or [3, 1, C]
         lvl = jnp.stack([ins[f"op{i}_level"][:, 0] for i in (3, 2, 1)])
         fb = jnp.stack([ins[f"op{i}_feedback"][:, 0] for i in (3, 2, 1)])
         mix = jnp.clip(ins["route"][:, 0], 0.0, 1.0)

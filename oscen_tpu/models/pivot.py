@@ -107,16 +107,23 @@ class PivotOperatorChain(Node):
                  "prevs": jnp.stack([y3, y2, y1])},
                 {"output": out})
 
-    def process_block_batched(self, state, ins, events, sr, block_len):
+    def process_block_batched(self, state, ins, events, sr, block_len,
+                              const_ins=frozenset()):
         from ..ops.pallas.util import pallas_mode
         use, interp = pallas_mode()
         if not use:
             return None
         from ..ops.pallas.fm import pivot_chain3_scan
 
+        # block-constant pitch (no note-on this block) collapses dt to
+        # [3, 1, C] rows — see FmOperatorChain.process_block_batched
+        dt_const = {"base_freq", "op3_ratio", "op2_ratio",
+                    "op1_ratio"} <= const_ins
+        tdt = (lambda v: jnp.moveaxis(v[:, :1], 0, 1)) if dt_const \
+            else (lambda v: jnp.moveaxis(v, 0, 1))
         dt = jnp.stack([
-            jnp.moveaxis(ins["base_freq"] * ins[f"op{i}_ratio"], 0, 1)
-            for i in (3, 2, 1)]) / sr.hz                  # [3, B, C]
+            tdt(ins["base_freq"] * ins[f"op{i}_ratio"])
+            for i in (3, 2, 1)]) / sr.hz        # [3, B, C] or [3, 1, C]
         lvl = jnp.stack([ins["op3_level"][:, 0], ins["op2_level"][:, 0],
                          jnp.ones_like(ins["op2_level"][:, 0])])
         fb = jnp.stack([ins[f"op{i}_feedback"][:, 0] for i in (3, 2, 1)])

@@ -91,11 +91,14 @@ class MidiVoiceHandler(HostNode):
             merged.append((ev.frame_offset, 1, i, "off", ev))
         merged.sort(key=lambda x: (x[0], x[1], x[2]))
 
-        freq = np.full((block_len,), np.float32(self.current_frequency),
-                       np.float32)
+        freq = None  # built lazily: blocks with no note-on stage as [1]
         for off, _, _, kind, ev in merged:
             if kind == "on" and isinstance(ev.payload, NoteOnEvent):
                 self.current_note = ev.payload.note
+                if freq is None:
+                    freq = np.full((block_len,),
+                                   np.float32(self.current_frequency),
+                                   np.float32)
                 self.current_frequency = midi_note_to_freq(ev.payload.note)
                 freq[min(off, block_len - 1):] = np.float32(
                     self.current_frequency)
@@ -104,6 +107,13 @@ class MidiVoiceHandler(HostNode):
                 if self.current_note == ev.payload.note:
                     gate.append(EventInstance(off, 0.0))
                     self.current_note = None
+        if freq is None:
+            # block-constant: stage as a LENGTH-1 array — the block/sample
+            # functions broadcast it at entry while the trace-time shape
+            # lets consumers (const_eps) hoist per-sample work (e.g. the
+            # chain kernels' per-sample dt reads)
+            freq = np.full((1,), np.float32(self.current_frequency),
+                           np.float32)
         return {"gate": gate}, {"frequency": freq}
 
 

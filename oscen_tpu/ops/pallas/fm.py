@@ -86,15 +86,23 @@ def _chain3_pipe_kernel(B, U, ph_ref, prev_ref, dt3_ref, dt2_ref, dt1_ref,
     #   rows (0, y3[i-1]*(1-mix), y2[i-2]*1) + (0, 0, y3[i-2]*mix)
     w1 = jnp.concatenate([zero, 1.0 - mix, one], axis=0)
     w2 = jnp.concatenate([zero, zero, mix], axis=0)
+    # block-constant pitch (no note-on this block — [1, V] dt rows from
+    # the [1]-staged handler frequency): hoist the three per-sample dt
+    # reads + concat out of the loop
+    const_dt = dt3_ref.shape[0] == 1
+    if const_dt:
+        dtc = jnp.concatenate([dt3_ref[:], dt2_ref[:], dt1_ref[:]],
+                              axis=0)
 
     def sample(i, carry, masked):
         ph, prev, y3_d2 = carry
         env = jnp.concatenate([env3_ref[pl.ds(i, 1), :],
                                env2_ref[pl.ds(i, 1), :],
                                env1_ref[pl.ds(i, 1), :]], axis=0)
-        dt = jnp.concatenate([dt3_ref[pl.ds(i, 1), :],
-                              dt2_ref[pl.ds(i, 1), :],
-                              dt1_ref[pl.ds(i, 1), :]], axis=0)
+        dt = dtc if const_dt else jnp.concatenate(
+            [dt3_ref[pl.ds(i, 1), :],
+             dt2_ref[pl.ds(i, 1), :],
+             dt1_ref[pl.ds(i, 1), :]], axis=0)
         rot = jnp.concatenate([prev[2:3, :], prev[0:2, :]], axis=0)
         pm = rot * w1 + y3_d2 * w2
         y = sin_turns(ph + pm + prev * fb) * env
@@ -171,6 +179,12 @@ def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
         return jnp.pad(x, ((0, 0), (0, padV)))
 
     mix_row = jnp.pad(jnp.reshape(mix, (1, -1)), ((0, 0), (0, padV)))
+    if dt.shape[1] == 1:
+        # block-constant pitch: [3, 1, V] dt — pass [1, V] rows (no
+        # per-row lag shift needed for a constant), kernel hoists reads
+        dt_in = (p3(dt[0]), p3(dt[1]), p3(dt[2]))
+    else:
+        dt_in = (shifted(dt[0], 0), shifted(dt[1], 1), shifted(dt[2], 2))
     y, ph, pv, _ = pl.pallas_call(
         functools.partial(_chain3_pipe_kernel, B, U),
         out_shape=(
@@ -182,8 +196,7 @@ def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4,
         interpret=interpret,
-    )(p3(phases), p3(prevs),
-      shifted(dt[0], 0), shifted(dt[1], 1), shifted(dt[2], 2),
+    )(p3(phases), p3(prevs), *dt_in,
       p3(fb), mix_row,
       shifted(env3 * lvl[0], 0), shifted(env2 * lvl[1], 1),
       shifted(env1 * lvl[2], 2))
@@ -244,15 +257,20 @@ def _pivot3_pipe_kernel(B, U, ph_ref, prev_ref, dt3_ref, dt2_ref, dt1_ref,
     # pm rows: (0, a3[i-1]·(1-mix), a2[i-2]·1) + (0, 0, a3[i-2]·mix)
     w1 = jnp.concatenate([zero, 1.0 - mix, one], axis=0)
     w2 = jnp.concatenate([zero, zero, mix], axis=0)
+    const_dt = dt3_ref.shape[0] == 1  # see _chain3_pipe_kernel
+    if const_dt:
+        dtc = jnp.concatenate([dt3_ref[:], dt2_ref[:], dt1_ref[:]],
+                              axis=0)
 
     def sample(i, carry, masked):
         ph, prev, s, s3_d2 = carry
         env = jnp.concatenate([env3_ref[pl.ds(i, 1), :],
                                env2_ref[pl.ds(i, 1), :],
                                env1_ref[pl.ds(i, 1), :]], axis=0)
-        dt = jnp.concatenate([dt3_ref[pl.ds(i, 1), :],
-                              dt2_ref[pl.ds(i, 1), :],
-                              dt1_ref[pl.ds(i, 1), :]], axis=0)
+        dt = dtc if const_dt else jnp.concatenate(
+            [dt3_ref[pl.ds(i, 1), :],
+             dt2_ref[pl.ds(i, 1), :],
+             dt1_ref[pl.ds(i, 1), :]], axis=0)
         rot = jnp.concatenate([s[2:3, :], s[0:2, :]], axis=0)
         pm = rot * w1 + s3_d2 * w2
         y = sin_turns(ph + pm + prev * fb)   # raw sine -> feedback
@@ -325,6 +343,10 @@ def pivot_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
         return jnp.pad(x, ((0, 0), (0, padV)))
 
     mix_row = jnp.pad(jnp.reshape(mix, (1, -1)), ((0, 0), (0, padV)))
+    if dt.shape[1] == 1:
+        dt_in = (p3(dt[0]), p3(dt[1]), p3(dt[2]))  # see fm_chain3_scan
+    else:
+        dt_in = (shifted(dt[0], 0), shifted(dt[1], 1), shifted(dt[2], 2))
     y, ph, pv = pl.pallas_call(
         functools.partial(_pivot3_pipe_kernel, B, U),
         out_shape=(
@@ -335,8 +357,7 @@ def pivot_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
         interpret=interpret,
-    )(p3(phases), p3(prevs),
-      shifted(dt[0], 0), shifted(dt[1], 1), shifted(dt[2], 2),
+    )(p3(phases), p3(prevs), *dt_in,
       p3(fb), mix_row,
       shifted(env3 * lvl[0], 0), shifted(env2 * lvl[1], 1),
       shifted(env1 * lvl[2], 2))

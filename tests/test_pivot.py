@@ -217,3 +217,20 @@ def test_pivot_fused_full_graph_sounds():
             f0 = 440.0 * 2 ** ((n - 69) / 12)
             peak = spec[(freqs > f0 * 0.97) & (freqs < f0 * 1.03)].max()
             assert peak > 3 * noise, (fused, n)
+
+
+def test_handler_frequency_stages_block_constant():
+    """Blocks with no note-on stage the handler frequency as a [1, C]
+    array (trace-time block-constant): the chain kernels hoist their
+    per-sample dt reads; a note-on block stages the full [B, C] step
+    function (the detune-regression case keeps per-sample dt)."""
+    from oscen_tpu.models.pivot import build_pivot
+    from oscen_tpu import raw_midi_event
+
+    g = build_pivot(4)
+    s = g.compile(48000.0, block_size=128, mode="block")
+    s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
+    ev_bufs, host_vals = s._host_prepass(128)   # consumes the note-on
+    assert host_vals["__host__handlers.frequency"].shape == (128, 4)
+    ev_bufs, host_vals = s._host_prepass(128)   # steady block
+    assert host_vals["__host__handlers.frequency"].shape == (1, 4)

@@ -33,16 +33,28 @@ def test_steady_state_never_recompiles():
 
 
 def test_event_blocks_reuse_capacity_classes():
-    """Event buffers pad to power-of-two capacities so event counts in the
-    same class reuse the compiled variant."""
+    """Event buffers pad to power-of-two capacities so event counts in
+    the same class reuse the compiled variant.  Host-value staging adds
+    exactly one more bounded shape class: blocks where no note-on lands
+    stage handler frequency as [1, C] (block-constant — lets the chain
+    kernels hoist per-sample dt), so a note-on block and a
+    no-note-on block compile one variant each and both stay cached
+    (the same two-class bound as ramping vs idle params)."""
     s = build_poly_synth(4).compile(48000.0, block_size=128)
     s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
     s.process_block()
     base = _total_cache_size(s)
-    # another single event -> same capacity class -> no recompile
+    # note-off only -> frequency stages [1, C] -> ONE new variant
     s.queue_event("midi_in", 5, raw_midi_event([0x80, 60, 0]))
     s.process_block()
-    assert _total_cache_size(s) == base
+    assert _total_cache_size(s) <= base + 1
+    ceiling = _total_cache_size(s)
+    # both classes now warm: further events in either class reuse
+    s.queue_event("midi_in", 2, raw_midi_event([0x90, 64, 90]))
+    s.process_block()
+    s.queue_event("midi_in", 9, raw_midi_event([0x80, 64, 0]))
+    s.process_block()
+    assert _total_cache_size(s) == ceiling
 
 
 def test_asset_hot_swap_does_not_retrace():
