@@ -1,4 +1,8 @@
-"""A/B: fm_chain3_scan vs pivot_chain3_scan standalone on chip."""
+"""A/B: fm_chain3_scan vs pivot_chain3_scan standalone on chip.
+
+Also measures the const-dt variants ([3,1,V] dt rows — the steady-block
+staging from [1]-shaped handler frequency): prices the three hoisted
+per-sample dt reads."""
 import os
 import sys
 import time
@@ -24,20 +28,34 @@ def main():
     mix = jnp.full((V,), 0.4, jnp.float32)
     env = jnp.asarray(rng.uniform(0.1, 1.0, (B, V)), jnp.float32)
 
+    dtc = dt[:, :1, :]  # [3, 1, V] block-constant rows
+
     fns = {}
-    for name, scan in (("fm", fm_chain3_scan), ("pivot",
-                                                pivot_chain3_scan)):
+    for name, scan, d in (("fm", fm_chain3_scan, dt),
+                          ("fm_cdt", fm_chain3_scan, dtc),
+                          ("pivot", pivot_chain3_scan, dt),
+                          ("pivot_cdt", pivot_chain3_scan, dtc)):
         @functools.partial(jax.jit, static_argnames=("n",))
-        def span_fn(state, n, scan=scan):
+        def span_fn(state, n, scan=scan, d=d):
             def body(c, _):
                 ph, pv = c
-                y, ph, pv = scan(ph, pv, dt, lvl, fb, mix, env, env, env)
+                y, ph, pv = scan(ph, pv, d, lvl, fb, mix, env, env, env)
                 return (ph, pv), jnp.sum(y * y)
             c, ys = jax.lax.scan(body, state, None, length=n)
             return jnp.sum(ys)
         fns[name] = span_fn
 
     state = (ph, pv)
+    # numerics: const-dt rows must equal the same constant as [3,B,V]
+    dtb = jnp.broadcast_to(dtc, dt.shape)
+    for name, scan in (("fm", fm_chain3_scan), ("pivot",
+                                                pivot_chain3_scan)):
+        ya, _, _ = scan(ph, pv, dtb, lvl, fb, mix, env, env, env)
+        yb, _, _ = scan(ph, pv, dtc, lvl, fb, mix, env, env, env)
+        err = float(jnp.max(jnp.abs(ya - yb)))
+        print(f"[numerics {name} const-dt: max abs err {err:.3e}]",
+              file=sys.stderr, flush=True)
+
     n_small, n_large = 32, 256
     for name, fn in fns.items():
         t0 = time.perf_counter()
