@@ -52,11 +52,17 @@ def build_variants():
         g.connect(clip.output, "audio_out", policy="sinc_iir")
         return g
 
+    def sat4_conv():
+        # same graph as sat4; traced with OSCEN_FIR_CONV=1 (one
+        # lax.conv per halfband stage instead of 23 fused slice+FMAs)
+        return build_saturator(4)
+
     return {
         "readme": build_simple_synth,
         "osc4": osc4,
         "sat1": sat1,
         "sat4": lambda: build_saturator(4),
+        "sat4_conv": sat4_conv,
         "sat4_iir": sat4_iir,
         "echo": lambda: build_simple_echo(0.02, 48000.0, min_delay=True),
     }
@@ -71,6 +77,7 @@ def main():
     synths = {}
     for name in names:
         t0 = time.perf_counter()
+        os.environ["OSCEN_FIR_CONV"] = "1" if name == "sat4_conv" else "0"
         c = variants[name]().compile(48000.0, block_size=B, mode="block")
         if name == "echo":
             c.set_value("feedback", 0.5)
