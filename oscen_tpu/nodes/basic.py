@@ -293,8 +293,16 @@ class Tremolo(Node):
 
         same = jnp.all(dt == state["dt_last"])
 
+        # the pan is computed INSIDE each branch: the [B, 2] output is
+        # what crosses the cond boundary either way (it is the node's
+        # output), while the [B] phase array stays fused into its branch
+        # (the TPT coefficient cond taught us cond-boundary arrays cost
+        # real per-block time; same ops, same order — bit-exact)
         def fast(_):
-            return fast_from(state["anchor"], state["k"], dt[0])
+            phase, anchor, k, dt_last = fast_from(
+                state["anchor"], state["k"], dt[0])
+            return (self._pan(ins["input"], phase, ins["depth"]),
+                    anchor, k, dt_last)
 
         def slow(_):
             def step(carry, dt_t):
@@ -314,11 +322,11 @@ class Tremolo(Node):
                 return (anchor, k, dt_t), phase
             (anchor, k, dt_last), phase = jax.lax.scan(
                 step, (state["anchor"], state["k"], state["dt_last"]), dt)
-            return phase, anchor, k, dt_last
+            return (self._pan(ins["input"], phase, ins["depth"]),
+                    anchor, k, dt_last)
 
-        phase, anchor, k, dt_last = jax.lax.cond(same, fast, slow,
-                                                 operand=None)
-        out = self._pan(ins["input"], phase, ins["depth"])
+        out, anchor, k, dt_last = jax.lax.cond(same, fast, slow,
+                                               operand=None)
         return ({"anchor": anchor, "k": k, "dt_last": dt_last},
                 {"output": out})
 
