@@ -15,6 +15,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from oscen_tpu.hostenv import ensure_local_backend
+ensure_local_backend()  # relay-robust: CPU unless OSCEN_EXAMPLES_TPU=1
+
 import numpy as np
 
 from oscen_tpu import AudioAsset, raw_midi_event

@@ -13,6 +13,9 @@ import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 
+from oscen_tpu.hostenv import ensure_local_backend
+ensure_local_backend()  # relay-robust: CPU unless OSCEN_EXAMPLES_TPU=1
+
 import sys
 
 import numpy as np
