@@ -57,15 +57,21 @@ _TOKEN_RE = re.compile(r"""
 """, re.VERBOSE)
 
 
-def _tokenize(src: str) -> List[tuple]:
+def _tokenize(src: str) -> tuple:
+    """Tokenize; bad characters are recorded as diagnostics and skipped so
+    one stray character does not hide every later error (the reference
+    accumulates instead of bailing, diagnostics.rs:40-107)."""
     toks = []
+    errors: List[str] = []
     pos = 0
     line = 1
     while pos < len(src):
         m = _TOKEN_RE.match(src, pos)
         if not m:
-            raise GraphError(
-                f"DSL: unexpected character {src[pos]!r} at line {line}")
+            errors.append(
+                f"DSL line {line}: unexpected character {src[pos]!r}")
+            pos += 1
+            continue
         line += src[pos:m.end()].count("\n")
         pos = m.end()
         kind = m.lastgroup
@@ -73,7 +79,7 @@ def _tokenize(src: str) -> List[tuple]:
             continue
         toks.append((kind, m.group(), line))
     toks.append(("eof", "", line))
-    return toks
+    return toks, errors
 
 
 def _default_registry() -> Dict[str, Any]:
@@ -87,10 +93,12 @@ def _default_registry() -> Dict[str, Any]:
 
 
 class _Parser:
-    def __init__(self, toks: List[tuple], registry: Dict[str, Any]):
+    def __init__(self, toks: List[tuple], registry: Dict[str, Any],
+                 diags: Optional[List[str]] = None):
         self.toks = toks
         self.i = 0
         self.registry = registry
+        self.diags: List[str] = diags if diags is not None else []
 
     # -- token helpers -------------------------------------------------- #
     def peek(self, k: int = 0) -> tuple:
@@ -130,6 +138,50 @@ class _Parser:
         v = float(t[1])
         return -v if neg else v
 
+    # -- error recovery -------------------------------------------------- #
+    # The reference chunks the top level at `;` / `keyword {}` boundaries
+    # and each block body at `;`, parsing every chunk independently so one
+    # malformed statement yields its error AND the rest still parse
+    # (parse.rs:24-117 split_top_level_chunks / split_statement_chunks,
+    # diagnostics accumulated per chunk).  Here the same recovery is a
+    # synchronizing skip: on error, record the diagnostic and advance to
+    # the next statement boundary.
+
+    def _sync_top(self) -> None:
+        """Skip to just after the next top-level `;` or balanced `{...}`."""
+        depth = 0
+        while True:
+            t = self.next()
+            if t[0] == "eof":
+                self.i -= 1
+                return
+            if t[1] == "{":
+                depth += 1
+            elif t[1] == "}":
+                depth -= 1
+                if depth <= 0:
+                    return
+            elif t[1] == ";" and depth == 0:
+                return
+
+    def _sync_stmt(self) -> None:
+        """Skip to just after the next `;` inside a block, stopping before
+        the block's closing `}` (never consumed — the block loop owns it)."""
+        depth = 0
+        while True:
+            t = self.peek()
+            if t[0] == "eof":
+                return
+            if t[1] == "}" and depth == 0:
+                return
+            self.next()
+            if t[1] in ("{", "[", "("):
+                depth += 1
+            elif t[1] in ("}", "]", ")"):
+                depth -= 1
+            elif t[1] == ";" and depth == 0:
+                return
+
     # -- grammar -------------------------------------------------------- #
     def parse(self, name: Optional[str]) -> Graph:
         g: Optional[Graph] = None
@@ -139,26 +191,51 @@ class _Parser:
         # order relative to `nodes` (the reference allows both)
         while self.peek()[0] != "eof":
             t = self.peek()
-            if t[1] == "name":
-                self.next()
-                self.expect(":")
-                gname = self.ident()
-                self.expect(";")
-            elif t[1] in ("input", "output", "external"):
-                items.append(self._decl())
-            elif t[1] == "nodes":
-                items.extend(self._nodes_block())
-            elif t[1] == "connections":
-                items.extend(self._connections_block())
-            else:
-                raise GraphError(
-                    f"DSL line {t[2]}: unexpected {t[1]!r} at top level")
+            try:
+                if t[1] == "name":
+                    self.next()
+                    self.expect(":")
+                    gname = self.ident()
+                    self.expect(";")
+                    if items:
+                        # ordering rule from the reference's recovery tests
+                        # (parse_recovery.rs misplaced_name_decl_...)
+                        raise GraphError(
+                            f"DSL line {t[2]}: `name:` must appear at the "
+                            f"start of the graph")
+                elif t[1] in ("input", "output", "external"):
+                    items.append(self._decl() + (t[2],))
+                elif t[1] == "nodes":
+                    items.extend(self._nodes_block())
+                elif t[1] == "connections":
+                    items.extend(self._connections_block())
+                else:
+                    self.next()
+                    raise GraphError(
+                        f"DSL line {t[2]}: unexpected {t[1]!r} at top level")
+            except GraphError as e:
+                self.diags.append(str(e))
+                self._sync_top()
         g = Graph(gname)
-        # declarations first, then nodes, then connections
-        for kind, payload in sorted(
-                items, key=lambda it: {"decl": 0, "node": 1,
-                                       "conn": 2}[it[0]]):
-            payload(g)
+        # declarations first, then nodes, then connections; application
+        # errors (unknown endpoints, duplicate names, ...) accumulate the
+        # same way parse errors do — one combined report at the end.
+        # Application only runs on a clean parse (as in the reference,
+        # where semantic checks see only a successfully parsed AST) so
+        # recovery skips don't cascade into spurious unknown-node errors.
+        if not self.diags:
+            for kind, payload, line in sorted(
+                    items, key=lambda it: {"decl": 0, "node": 1,
+                                           "conn": 2}[it[0]]):
+                try:
+                    payload(g)
+                except GraphError as e:
+                    msg = str(e)
+                    self.diags.append(msg if msg.startswith("DSL line")
+                                      else f"DSL line {line}: {msg}")
+        if self.diags:
+            # one combined report (the reference's compile_error! collapse)
+            raise GraphError("\n".join(dict.fromkeys(self.diags)))
         return g
 
     def _decl(self) -> tuple:
@@ -237,22 +314,31 @@ class _Parser:
         self.expect("{")
         out = []
         while not self.accept("}"):
-            nm = self.ident()
-            self.expect("=")
-            count = 1
-            if self.accept("["):
-                node = self._ctor()
+            line = self.peek()[2]
+            if self.peek()[0] == "eof":
+                raise GraphError(f"DSL line {line}: unterminated nodes block")
+            try:
+                nm = self.ident()
+                self.expect("=")
+                count = 1
+                if self.accept("["):
+                    node = self._ctor()
+                    self.expect(";")
+                    count = int(self.number())
+                    self.expect("]")
+                else:
+                    node = self._ctor()
+                rate = 1
+                if self.accept("*"):
+                    rate = int(self.number())
                 self.expect(";")
-                count = int(self.number())
-                self.expect("]")
-            else:
-                node = self._ctor()
-            rate = 1
-            if self.accept("*"):
-                rate = int(self.number())
-            self.expect(";")
+            except GraphError as e:
+                self.diags.append(str(e))
+                self._sync_stmt()
+                continue
             out.append(("node", lambda g, nm=nm, node=node, count=count,
-                        rate=rate: g.add(nm, node, count=count, rate=rate)))
+                        rate=rate: g.add(nm, node, count=count, rate=rate),
+                        line))
         return out
 
     def _ctor(self):
@@ -292,27 +378,37 @@ class _Parser:
         self.expect("{")
         out = []
         while not self.accept("}"):
-            policy = "default"
-            if self.accept("["):
-                policy = self.ident()
-                self.expect("]")
-            src = self._expr()
-            self.expect("->")
-            via = None
-            if self.accept("["):
-                t = self.peek()
-                if t[0] == "num":
-                    via = int(self.number())
-                else:
-                    via = self.ident()
-                self.expect("]")
+            line = self.peek()[2]
+            if self.peek()[0] == "eof":
+                raise GraphError(
+                    f"DSL line {line}: unterminated connections block")
+            try:
+                policy = "default"
+                if self.accept("["):
+                    policy = self.ident()
+                    self.expect("]")
+                src = self._expr()
                 self.expect("->")
-            dst = self._dst()
-            self.expect(";")
+                via = None
+                if self.accept("["):
+                    t = self.peek()
+                    if t[0] == "num":
+                        via = int(self.number())
+                    else:
+                        via = self.ident()
+                    self.expect("]")
+                    self.expect("->")
+                dst = self._dst()
+                self.expect(";")
+            except GraphError as e:
+                self.diags.append(str(e))
+                self._sync_stmt()
+                continue
             out.append(("conn", lambda g, src=src, dst=dst, policy=policy,
                         via=via: g.connect(
                             _resolve(src, g), _resolve_dst(dst, g),
-                            policy=policy, via=via)))
+                            policy=policy, via=via),
+                        line))
         return out
 
     def _dst(self):
@@ -411,5 +507,6 @@ def parse_graph(src: str, registry: Optional[Dict[str, Any]] = None,
     reg = _default_registry()
     if registry:
         reg.update(registry)
-    p = _Parser(_tokenize(src), reg)
+    toks, tok_errors = _tokenize(src)
+    p = _Parser(toks, reg, diags=tok_errors)
     return p.parse(name)

@@ -128,3 +128,90 @@ def test_dsl_errors_name_location():
             nodes { o = Oscillator::sine(100.0, 1.0); }
             connections { o.nope -> out; }
         """)
+
+
+# -- multi-error recovery (reference parse_recovery.rs + parse.rs:24-117) -- #
+
+def _errors_of(src):
+    with pytest.raises(GraphError) as ei:
+        parse_graph(src)
+    return str(ei.value).split("\n")
+
+
+def test_dsl_accumulates_two_top_level_errors():
+    errs = _errors_of("""
+        name: TwoBadItems;
+        input s1: stream
+        input s2: stream;
+        output out: stream;
+        foo bar baz;
+        connections { s1 -> out; }
+    """)
+    assert len(errs) == 2, errs
+    assert any("line 3" in e or "line 4" in e for e in errs), errs
+    assert any("foo" in e or "top level" in e for e in errs), errs
+
+
+def test_dsl_accumulates_two_node_block_errors():
+    errs = _errors_of("""
+        name: BadNodeBlock;
+        output out: stream;
+        nodes {
+            osc = PolyBlepOscillator::saw(440.0, 0.6)
+            lfo = PolyBlepOscillator::sine(2.0, 0.5);
+            amp : 0.8;
+        }
+        connections { lfo.output -> out; }
+    """)
+    assert len(errs) == 2, errs
+
+
+def test_dsl_accumulates_two_connection_block_errors():
+    errs = _errors_of("""
+        name: BadConnectionBlock;
+        input s1: stream;
+        input s2: stream;
+        input s3: stream;
+        output out: stream;
+        connections {
+            s1 = out;
+            s2 -> out;
+            s3 -> ;
+        }
+    """)
+    assert len(errs) == 2, errs
+
+
+def test_dsl_misplaced_name_produces_ordering_error():
+    errs = _errors_of("""
+        input s: stream;
+        name: LateName;
+        output out: stream;
+        connections { s -> out; }
+    """)
+    assert any("must appear at the start" in e for e in errs), errs
+
+
+def test_dsl_application_errors_accumulate():
+    # two distinct unknown-endpoint errors report together, with lines
+    errs = _errors_of("""
+        output out: stream;
+        nodes { o = Oscillator::sine(100.0, 1.0); }
+        connections {
+            o.nope -> out;
+            o.alsonope -> out;
+        }
+    """)
+    assert len(errs) == 2, errs
+    assert all("line" in e for e in errs), errs
+
+
+def test_dsl_bad_chars_and_later_errors_all_report():
+    errs = _errors_of("""
+        output out: stream;
+        nodes { o = Oscillator~sine(100.0, 1.0); }
+    """)
+    # the stray character reports AND the statement still gets parsed
+    # (as `o = Oscillator` missing its `= ctor`), or at minimum both
+    # diagnostics surface in one raise
+    assert any("unexpected character" in e for e in errs), errs
