@@ -44,7 +44,7 @@ from ..core.types import ParamSpec
 from .builder import Graph, GraphError
 from .ir import BinOp, Const, EndpointRef, Expr
 
-__all__ = ["parse_graph"]
+__all__ = ["parse_graph", "parse_oversample_variants"]
 
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+|//[^\n]*)
@@ -510,3 +510,72 @@ def parse_graph(src: str, registry: Optional[Dict[str, Any]] = None,
     toks, tok_errors = _tokenize(src)
     p = _Parser(toks, reg, diags=tok_errors)
     return p.parse(name)
+
+_OV_HEADER_RE = re.compile(
+    r"""\s*base_name\s*:\s*(?P<base>[A-Za-z_][A-Za-z0-9_]*)\s*;
+        \s*factors\s*:\s*\[(?P<factors>[^\]]*)\]\s*;
+        \s*body\s*:\s*\{""", re.VERBOSE)
+
+_FACTOR_RE = re.compile(r"\{\s*FACTOR\s*\}")
+
+
+def parse_oversample_variants(src: str,
+                              registry: Optional[Dict[str, Any]] = None
+                              ) -> Dict[str, Graph]:
+    """The ``oversample_variants!`` macro for the textual DSL.
+
+    Expands one graph body into ``{base}_{F}x`` variants, substituting each
+    factor for every ``{FACTOR}`` placeholder (the reference's
+    oversample_variants_macro.rs:94-120 — there a compile-time token
+    rewrite, here a textual one feeding :func:`parse_graph`):
+
+        variants = parse_oversample_variants('''
+            base_name: Sat;
+            factors: [1, 2, 4];
+            body: {
+                output audio_out: stream;
+                nodes { osc = PolyBlepOscillator::saw(440.0, 0.6) * {FACTOR}; }
+                connections { [sinc] osc.output -> audio_out; }
+            }
+        ''')
+        variants["Sat_4x"].compile(48000.0, block_size=256)
+
+    Returns a dict mapping variant name -> :class:`Graph`.
+    """
+    m = _OV_HEADER_RE.match(src)
+    if not m:
+        raise GraphError(
+            "oversample_variants: expected `base_name: Name; "
+            "factors: [..]; body: { ... }`")
+    base = m.group("base")
+    try:
+        factors = [int(f.strip()) for f in m.group("factors").split(",")
+                   if f.strip()]
+    except ValueError:
+        raise GraphError("oversample_variants: factors must be integers")
+    if not factors:
+        raise GraphError(
+            "oversample_variants: `factors` list must contain at least one "
+            "factor")
+    # body: balanced-brace scan from the `{` the header matched through
+    depth = 1
+    i = m.end()
+    while i < len(src) and depth:
+        if src[i] == "{":
+            depth += 1
+        elif src[i] == "}":
+            depth -= 1
+        i += 1
+    if depth:
+        raise GraphError("oversample_variants: unterminated body block")
+    body = src[m.end():i - 1]
+    tail = src[i:].strip()
+    if tail not in ("", ";"):
+        raise GraphError(
+            f"oversample_variants: unexpected trailing tokens {tail!r}")
+    out: Dict[str, Graph] = {}
+    for f in factors:
+        name = f"{base}_{f}x"
+        out[name] = parse_graph(_FACTOR_RE.sub(str(f), body),
+                                registry=registry, name=name)
+    return out

@@ -215,3 +215,38 @@ def test_dsl_bad_chars_and_later_errors_all_report():
     # (as `o = Oscillator` missing its `= ctor`), or at minimum both
     # diagnostics surface in one raise
     assert any("unexpected character" in e for e in errs), errs
+
+
+def test_dsl_oversample_variants():
+    # oversample_variants! for the textual DSL
+    # (reference oversample_variants_macro.rs:94-120)
+    from oscen_tpu.graph.dsl import parse_oversample_variants
+    v = parse_oversample_variants("""
+        base_name: Sat;
+        factors: [1, 4];
+        body: {
+            output audio_out: stream;
+            nodes {
+                osc = PolyBlepOscillator::saw(2000.0, 0.6) * {FACTOR};
+                clip = HardClip::new() * { FACTOR };
+            }
+            connections {
+                osc.output * 2.0 -> clip.input;
+                [sinc] clip.output -> audio_out;
+            }
+        }
+    """)
+    assert sorted(v) == ["Sat_1x", "Sat_4x"]
+    outs = {}
+    for name, g in v.items():
+        a = np.asarray(g.compile(48000.0, block_size=256).render_mono(2048))
+        assert np.isfinite(a).all(), name
+        outs[name] = a
+    # the 4x variant really oversamples: outputs differ
+    assert not np.array_equal(outs["Sat_1x"], outs["Sat_4x"])
+    with pytest.raises(GraphError, match="at least one"):
+        parse_oversample_variants(
+            "base_name: X; factors: []; body: { output o: stream; }")
+    with pytest.raises(GraphError, match="unterminated"):
+        parse_oversample_variants(
+            "base_name: X; factors: [2]; body: { output o: stream;")
