@@ -69,7 +69,17 @@ _UNROLL = 8  # minimum block-length granularity for the fused kernel
 # — slice/broadcast consumption costs more than the serial rows).
 # v3: the round-2/3 kernel (per-tick 2-FMA amp, sequential row ops).
 # v2: the round-2 kernel (per-tick plane selects + sequential row ops).
-_KERNEL_VERSION = os.environ.get("OSCEN_ADDITIVE_KERNEL", "v4")
+# parity: the exact-op-order kernel — replays the reference's per-sample
+#   schedule (envelope tick then rotation, electric_piano_voice.rs
+#   tick order) with no closed-form subgroups.  ~30% slower than v4
+#   (the round-1 v1 measured 26.5 us/block at 256v/B=1024) but carries
+#   the 1e-6-class tolerance the sample path has; selectable when the
+#   headline tolerance matters more than the headline number.
+
+
+def _kernel_version() -> str:
+    """Resolved at trace time (each version is a distinct jit key)."""
+    return os.environ.get("OSCEN_ADDITIVE_KERNEL", "v4")
 
 
 def _kernel(U, SUB, with_mix, or_ref, oi_ref, mr_ref, mi_ref, cur_ref,
@@ -358,21 +368,93 @@ def _kernel_v4(U, SUB, with_mix, epi_fn, *refs):
     step_o[:] = s
 
 
+def _kernel_parity(U, with_mix, or_ref, oi_ref, mr_ref, mi_ref, cur_ref,
+                   tgt_ref, mult_ref, step_ref, y_ref, or_o, oi_o, cur_o,
+                   tgt_o, step_o):
+    # Exact-op-order kernel: per sample, the reference's envelope tick
+    # (target refresh at step==0, linear blend toward target, step
+    # advance) followed by the complex rotation and the amplitude-weighted
+    # harmonic sum — the same f32 expressions, in the same order, as the
+    # per-sample ``tick`` paths (AmplitudeSource.tick / OscillatorBank.tick
+    # ↔ electric_piano_voice.rs:116-170, :282-356).  No closed-form
+    # subgroups: deviations vs sample mode are reduction-order and
+    # FMA-formation only (~1 ulp per op), 1e-6-class RMS — vs the fused
+    # kernels' ~5e-4 subgroup anchoring bound.
+    mr = mr_ref[:]
+    mi = mi_ref[:]
+    mult = mult_ref[:]
+    B = y_ref.shape[0]
+    STEPS = INTERP  # 64.0
+
+    def body(i, carry):
+        zr, zi, cur, tgt, s = carry
+        rows = []
+        for _ in range(U):
+            # AmplitudeSource.tick
+            tgt = jnp.where(s == 0.0, cur * mult, tgt)
+            interp = s < STEPS
+            tau = (s + 1.0) / STEPS
+            cur_i = cur * (1.0 - tau) + tgt * tau
+            cur = jnp.where(interp, cur_i, tgt)
+            s = jnp.where(interp, s + 1.0, 0.0)
+            # OscillatorBank.tick
+            nre = zr * mr - zi * mi
+            nim = zr * mi + zi * mr
+            zr, zi = nre, nim
+            rows.append(
+                jnp.sum(nim * cur, axis=0, keepdims=True) * 3.0)
+        Y = jnp.concatenate(rows, axis=0)
+        if with_mix:
+            y_ref[pl.ds(i * U, U), :] = jnp.sum(Y, axis=1, keepdims=True)
+        else:
+            y_ref[pl.ds(i * U, U), :] = Y
+        return (zr, zi, cur, tgt, s)
+
+    zr, zi, cur, tgt, s = jax.lax.fori_loop(
+        0, B // U, body,
+        (or_ref[:], oi_ref[:], cur_ref[:], tgt_ref[:], step_ref[:]))
+    or_o[:] = zr
+    oi_o[:] = zi
+    cur_o[:] = cur
+    tgt_o[:] = tgt
+    step_o[:] = s
+
+
 def epilogue_supported(num_voices: int) -> bool:
     """True when the voice count fits one kernel tile (the stream
     epilogue writes the single [B, C] output; multi-tile grids emit
-    per-tile partial mixes instead)."""
+    per-tile partial mixes instead).  The parity kernel opts out —
+    keeping its fp story exactly the per-sample op order."""
+    if _kernel_version() == "parity":
+        return False
     Vp = num_voices + ((-num_voices) % 128)
     return Vp <= int(os.environ.get("OSCEN_ADDITIVE_TILE", "256"))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("block_len", "interpret", "with_mix",
-                                    "epi_fn", "epi_c"))
 def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
                          step, block_len: int, interpret: bool = False,
                          with_mix: bool = False, epi_fn=None,
-                         epi_c: int = 0, epi_params=None):
+                         epi_c: int = 0, epi_params=None, version=None):
+    """One steady-state block of the fused additive voice (version shim:
+    resolves ``OSCEN_ADDITIVE_KERNEL`` at call time so the selection is
+    a jit cache key, then dispatches to the jitted impl)."""
+    if version is None:
+        version = _kernel_version()
+    return _additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt,
+                                 mult, step, block_len=block_len,
+                                 interpret=interpret, with_mix=with_mix,
+                                 epi_fn=epi_fn, epi_c=epi_c,
+                                 epi_params=epi_params, version=version)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_len", "interpret", "with_mix",
+                                    "epi_fn", "epi_c", "version"))
+def _additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
+                          step, block_len: int, interpret: bool = False,
+                          with_mix: bool = False, epi_fn=None,
+                          epi_c: int = 0, epi_params=None,
+                          version: str = "v4"):
     """One steady-state block of the fused additive voice.
 
     Args (all ``[H, V]`` except ``step`` ``[V]``): oscillator complex
@@ -408,9 +490,10 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
     # vs U=64/SUB=32; U=128 is bit-exact, SUB=64 moves the subgroup
     # anchor — 1.3e-6 relative deviation, inside the documented budget).
     # The old v1 kernel regressed at U=128 (code size); v4 does not.
+    max_u_default = "64" if version == "parity" else "128"
     U = pick_unroll(block_len,
                     max_u=int(os.environ.get("OSCEN_ADDITIVE_UNROLL",
-                                             "128")))
+                                             max_u_default)))
     SUB = min(U, min(64, int(os.environ.get("OSCEN_ADDITIVE_SUB", "64"))))
 
     # grid over voice tiles: keeps VMEM bounded for large voice counts
@@ -442,8 +525,10 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
     else:
         y_shape = jax.ShapeDtypeStruct((block_len, Vp), jnp.float32)
         y_spec = vspec(block_len)
-    if _KERNEL_VERSION in ("v3", "v4") or epi_fn is not None:
-        if _KERNEL_VERSION == "v3" and epi_fn is None:
+    if version in ("v3", "v4", "parity") or epi_fn is not None:
+        if version == "parity" and epi_fn is None:
+            kern = functools.partial(_kernel_parity, U, with_mix)
+        elif version == "v3" and epi_fn is None:
             kern = functools.partial(_kernel_v3, U, SUB, with_mix)
         else:
             kern = functools.partial(_kernel_v4, U, SUB, with_mix, epi_fn)

@@ -147,6 +147,111 @@ def _chain3_pipe_kernel(B, U, ph_ref, prev_ref, dt3_ref, dt2_ref, dt1_ref,
     d2_o[:] = y3_d2
 
 
+def _fract3_kernel(B, U, ph_ref, dt_ref, o3_ref, o2_ref, o1_ref, c_ref):
+    # Exact sequential fract-phase iteration for the three chain ops in
+    # one [3, V] plane: per sample, emit the pre-increment phases (the
+    # values the tick synthesizes with), then ph += dt; ph -= trunc(ph)
+    # — the same f32 expressions as FmOperatorChain.tick / the chain
+    # kernels.  dt is block-constant ([3, V] rows; the fast path is only
+    # taken for const-dt blocks).
+    dtc = dt_ref[:]
+
+    def body(i, p):
+        r3, r2, r1 = [], [], []
+        for _ in range(U):
+            r3.append(p[0:1, :])
+            r2.append(p[1:2, :])
+            r1.append(p[2:3, :])
+            np_ = p + dtc
+            p = np_ - jnp.trunc(np_)
+        o3_ref[pl.ds(i * U, U), :] = jnp.concatenate(r3, axis=0)
+        o2_ref[pl.ds(i * U, U), :] = jnp.concatenate(r2, axis=0)
+        o1_ref[pl.ds(i * U, U), :] = jnp.concatenate(r1, axis=0)
+        return p
+
+    c_ref[:] = jax.lax.fori_loop(0, B // U, body, ph_ref[:])
+
+
+def fract_phase3(phases, dt, B: int, interpret: bool = False):
+    """Sequential fract-wrapped phases for the 3-op chain (zero-feedback
+    fast path).  Args: phases/dt ``[3, V]``; ``B`` block length.
+    Returns (ph3, ph2, ph1 each ``[B, V]`` pre-increment, carry
+    ``[3, V]``) — bit-identical to the chain kernels' phase recurrence."""
+    V = phases.shape[1]
+    padV = (-V) % 128
+    U = pick_unroll(B)
+    # voice-tile grid: keeps the three [B, tile] output buffers inside
+    # VMEM at large B (voices are independent)
+    Vp = V + padV
+    tile = Vp
+    n_tiles = 1
+    while B * tile * 4 * 3 > 6 * 1024 * 1024 and tile % 256 == 0:
+        tile //= 2
+        n_tiles *= 2
+
+    def p3(x):
+        return jnp.pad(x, ((0, 0), (0, padV)))
+
+    ph_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((B, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    o3, o2, o1, c = pl.pallas_call(
+        functools.partial(_fract3_kernel, B, U),
+        grid=(n_tiles,),
+        out_shape=(jax.ShapeDtypeStruct((B, Vp), jnp.float32),) * 3
+        + (jax.ShapeDtypeStruct((3, Vp), jnp.float32),),
+        in_specs=[ph_spec, ph_spec],
+        out_specs=(out_spec,) * 3 + (ph_spec,),
+        interpret=interpret,
+    )(p3(phases), p3(dt))
+    return o3[:, :V], o2[:, :V], o1[:, :V], c[:, :V]
+
+
+def _fm_chain3_fast(phases, prevs, dt_rows, lvl, mix, e3, e2, e1,
+                    interpret):
+    """Zero-feedback fast path: with every op feedback at 0 (the
+    reference examples' default — fm_voice.rs:16-31 ``feedback = 0.0``,
+    OP1 has none) the chain's only cross-sample dependency is the phase
+    recurrence; the sines and routing vectorize over the whole block.
+    Expressions and associations match ``tick`` (prev*0 adds exact
+    zeros there); the phase recurrence is bit-identical, the sine/route
+    math agrees with the chain kernel at FMA-formation level (~1 ulp
+    per op — the two programs compile separately, so the compiler may
+    fuse ``a*b + c`` differently; no reassociation beyond that).
+    e* are the level-folded envelope streams [B, V]."""
+    B = e3.shape[0]
+    ph3, ph2, ph1, phc = fract_phase3(phases, dt_rows, B, interpret)
+    mixr = mix[None, :]
+    y3 = sin_turns(ph3) * e3
+    a = y3 * (1.0 - mixr)
+    b = y3 * mixr
+    y2 = sin_turns(ph2 + a) * e2
+    y1 = sin_turns(ph1 + (y2 + b)) * e1
+    pv = jnp.concatenate([y3[-1:], y2[-1:], y1[-1:]], axis=0)
+    return y1, phc, pv
+
+
+def _pivot_chain3_fast(phases, prevs, dt_rows, lvl, mix, e3, e2, e1,
+                       interpret):
+    """Pivot zero-feedback fast path: the RAW sine is the feedback/prev
+    carry, the enveloped signal drives routing (pivot_voice.rs:94-165);
+    with fb == 0 everything but the phase recurrence vectorizes."""
+    B = e3.shape[0]
+    ph3, ph2, ph1, phc = fract_phase3(phases, dt_rows, B, interpret)
+    mixr = mix[None, :]
+    y3 = sin_turns(ph3)
+    a3 = y3 * e3
+    a = a3 * (1.0 - mixr)
+    b = a3 * mixr
+    y2 = sin_turns(ph2 + a)
+    a2 = y2 * e2
+    y1 = sin_turns(ph1 + (a2 + b))
+    out = y1 * e1
+    pv = jnp.concatenate([y3[-1:], y2[-1:], y1[-1:]], axis=0)
+    return out, phc, pv
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
                    interpret: bool = False):
@@ -161,7 +266,29 @@ def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
     Levels are folded into the envelope streams here (one [B, V]
     multiply each, outside the sequential kernel); the tick path uses
     the same ``sin·(env·lvl)`` association so parity stays bit-exact.
+
+    Steady blocks with every feedback at 0 (the reference default) take
+    the vectorized zero-feedback branch via a runtime ``lax.cond`` —
+    phase-exact, output within ~1 ulp/op of the sequential kernel (FMA
+    formation; see :func:`_fm_chain3_fast`), only the phase recurrence
+    stays sequential.
     """
+    B, V = env3.shape
+    if dt.shape[1] == 1 and B % 8 == 0:
+        dt_rows = dt[:, 0, :]
+        return jax.lax.cond(
+            jnp.all(fb == 0.0),
+            lambda: _fm_chain3_fast(phases, prevs, dt_rows, lvl, mix,
+                                    env3 * lvl[0], env2 * lvl[1],
+                                    env1 * lvl[2], interpret),
+            lambda: _fm_chain3_pallas(phases, prevs, dt, lvl, fb, mix,
+                                      env3, env2, env1, interpret))
+    return _fm_chain3_pallas(phases, prevs, dt, lvl, fb, mix, env3, env2,
+                             env1, interpret)
+
+
+def _fm_chain3_pallas(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
+                      interpret: bool = False):
     B, V = env3.shape
     padV = (-V) % 128
     # U need not divide B (activity guards mask the rounded-up tail);
@@ -330,7 +457,29 @@ def pivot_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
     block boundaries — modulation routing is same-tick in the reference,
     the pipeline lag is internal).
     Returns (y ``[B, V]`` — the vca1 output, pre-filter; phases'; prevs').
+
+    Steady zero-feedback blocks (the reference default,
+    pivot/src/main.rs:69-84) take the vectorized fast branch via a
+    runtime ``lax.cond`` — phase-exact, output within ~1 ulp/op (FMA
+    formation, see :func:`_fm_chain3_fast`), only the phase recurrence
+    stays sequential.
     """
+    B, V = env3.shape
+    if dt.shape[1] == 1 and B % 8 == 0:
+        dt_rows = dt[:, 0, :]
+        return jax.lax.cond(
+            jnp.all(fb == 0.0),
+            lambda: _pivot_chain3_fast(phases, prevs, dt_rows, lvl, mix,
+                                       env3 * lvl[0], env2 * lvl[1],
+                                       env1 * lvl[2], interpret),
+            lambda: _pivot_chain3_pallas(phases, prevs, dt, lvl, fb, mix,
+                                         env3, env2, env1, interpret))
+    return _pivot_chain3_pallas(phases, prevs, dt, lvl, fb, mix, env3,
+                                env2, env1, interpret)
+
+
+def _pivot_chain3_pallas(phases, prevs, dt, lvl, fb, mix, env3, env2,
+                         env1, interpret: bool = False):
     B, V = env3.shape
     padV = (-V) % 128
     U = 64 if B + 2 >= 256 else 8  # see fm_chain3_scan

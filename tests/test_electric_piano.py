@@ -272,29 +272,116 @@ def test_additive_kernel_v4_bitexact_v3():
     step = jnp.asarray(rng.integers(0, 65, (V,)), jnp.float32)
     step = step.at[0].set(0.0).at[1].set(64.0).at[2].set(33.0)
 
-    saved = add._KERNEL_VERSION
-    try:
-        outs = {}
-        for ver in ("v3", "v4"):
-            add._KERNEL_VERSION = ver
-            add.additive_voice_block.clear_cache()
-            o_re, o_im, c, t, s = osc_re, osc_im, cur, tgt, step
-            ys = []
-            for _ in range(3):
-                y, o_re, o_im, c, t, s = add.additive_voice_block(
-                    o_re, o_im, mul_re, mul_im, c, t, mult, s,
-                    block_len=B, interpret=True)
-                ys.append(np.asarray(y))
-            outs[ver] = (np.concatenate(ys),
-                         [np.asarray(x) for x in (o_re, o_im, c, t, s)])
-    finally:
-        add._KERNEL_VERSION = saved
-        add.additive_voice_block.clear_cache()
+    outs = {}
+    for ver in ("v3", "v4"):
+        o_re, o_im, c, t, s = osc_re, osc_im, cur, tgt, step
+        ys = []
+        for _ in range(3):
+            y, o_re, o_im, c, t, s = add.additive_voice_block(
+                o_re, o_im, mul_re, mul_im, c, t, mult, s,
+                block_len=B, interpret=True, version=ver)
+            ys.append(np.asarray(y))
+        outs[ver] = (np.concatenate(ys),
+                     [np.asarray(x) for x in (o_re, o_im, c, t, s)])
     y3, s3 = outs["v3"]
     y4, s4 = outs["v4"]
     assert np.array_equal(y3, y4)
     for a, b in zip(s3, s4):
         assert np.array_equal(a, b)
+
+
+def _additive_state(V=8, B=256, seed=0):
+    import jax.numpy as jnp
+    H = 32
+    rng = np.random.default_rng(seed)
+    th = rng.uniform(0, 0.2, (H, V))
+    step = jnp.asarray(rng.integers(0, 65, (V,)), jnp.float32)
+    step = step.at[0].set(0.0).at[1].set(64.0).at[2].set(33.0)
+    return dict(
+        osc_re=jnp.asarray(rng.normal(size=(H, V)), jnp.float32),
+        osc_im=jnp.asarray(rng.normal(size=(H, V)), jnp.float32),
+        mul_re=jnp.asarray(np.cos(th), jnp.float32),
+        mul_im=jnp.asarray(np.sin(th), jnp.float32),
+        cur=jnp.asarray(rng.uniform(0, 1, (H, V)), jnp.float32),
+        tgt=jnp.asarray(rng.uniform(0, 1, (H, V)), jnp.float32),
+        mult=jnp.asarray(rng.uniform(0.9, 1.0, (H, V)), jnp.float32),
+        step=step)
+
+
+def test_additive_parity_kernel_exact_op_order():
+    """The selectable ``parity`` kernel replays the per-sample tick op
+    order: vs a plane-layout replay of AmplitudeSource.tick +
+    OscillatorBank.tick (a lax.scan) it agrees to FMA-formation level
+    (XLA may fuse a*b+c*d differently between the two programs — ~1 ulp
+    per op, no closed-form reassociation), chained over 3 blocks through
+    cycle wraps.  The fused v4 kernel's subgroup closed forms sit at
+    ~5e-4 on the same comparison; the parity kernel is ~100x tighter."""
+    import jax
+    import jax.numpy as jnp
+    import oscen_tpu.ops.pallas.additive as add
+
+    V, B = 8, 256
+    st = _additive_state(V, B)
+
+    # reference replay: the tick expressions on the same [H, V] planes
+    def tick(carry, _):
+        zr, zi, cur, tgt, s = carry
+        tgt = jnp.where(s == 0.0, cur * st["mult"], tgt)
+        interp = s < 64.0
+        tau = (s + 1.0) / 64.0
+        cur = jnp.where(interp, cur * (1.0 - tau) + tgt * tau, tgt)
+        s = jnp.where(interp, s + 1.0, 0.0)
+        nre = zr * st["mul_re"] - zi * st["mul_im"]
+        nim = zr * st["mul_im"] + zi * st["mul_re"]
+        y = jnp.sum(nim * cur, axis=0) * 3.0
+        return (nre, nim, cur, tgt, s), y
+
+    srow = st["step"][None, :]
+    carry, y_ref = jax.lax.scan(
+        tick, (st["osc_re"], st["osc_im"], st["cur"], st["tgt"], srow),
+        None, length=3 * B)
+
+    o_re, o_im, c, t, s = (st["osc_re"], st["osc_im"], st["cur"],
+                           st["tgt"], st["step"])
+    ys = []
+    for _ in range(3):
+        y, o_re, o_im, c, t, s = add.additive_voice_block(
+            o_re, o_im, st["mul_re"], st["mul_im"], c, t, st["mult"], s,
+            block_len=B, interpret=True, version="parity")
+        ys.append(np.asarray(y))
+    got = np.concatenate(ys)
+    ref = np.asarray(y_ref)
+    # deviations are exact multiples of 2^-21 (ulp at the ~4-magnitude
+    # harmonic sum): FMA-formation noise between two separately compiled
+    # programs, no reassociation
+    assert np.abs(got - ref).max() < 5e-5, np.abs(got - ref).max()
+    rms = np.sqrt(np.mean((got - ref) ** 2))
+    assert rms < 5e-6, rms
+    for a, b in zip((o_re, o_im, c, t, s[None, :]), carry):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
+def test_additive_parity_env_selectable(monkeypatch):
+    """OSCEN_ADDITIVE_KERNEL=parity routes the flagship's fused path
+    through the exact-op-order kernel; vs sample mode the chord render
+    agrees at 1e-6-class RMS (the fused v4 bound is 5e-4)."""
+    monkeypatch.setenv("OSCEN_PALLAS_INTERPRET", "1")
+
+    def run(mode):
+        p = build_electric_piano(4).compile(48000.0, block_size=256,
+                                            mode=mode)
+        for note in (60, 64, 67):
+            p.queue_event("midi_in", 0, raw_midi_event([0x90, note, 100]))
+        p.process_block()  # event block (composed path either way)
+        return np.concatenate(
+            [np.asarray(p.process_block()["out"]) for _ in range(4)])
+
+    monkeypatch.setenv("OSCEN_ADDITIVE_KERNEL", "parity")
+    a = run("block")
+    b = run("sample")
+    rms = np.sqrt(np.mean((a - b) ** 2))
+    assert rms < 5e-6, rms
 
 
 def test_tremolo_epilogue_fusion_parity(monkeypatch):

@@ -180,6 +180,85 @@ def test_fm_chain3_pallas_matches_tick():
     np.testing.assert_allclose(np.asarray(pv)[2], ys[-1], atol=1e-6)
 
 
+def test_fm_chain3_zero_feedback_fast_path():
+    """Steady zero-feedback blocks (the reference default,
+    fm_voice.rs:16-31) take the vectorized fast branch: the phase carry
+    is BIT-identical to the sequential chain kernel and the output/prev
+    agree at FMA-formation level (~1 ulp/op — the two programs compile
+    separately), chained across blocks; non-zero feedback falls back
+    (cond's other branch) and stays bit-exact."""
+    from oscen_tpu.ops.pallas.fm import _fm_chain3_pallas, fm_chain3_scan
+
+    V, B = 4, 64
+    rng = np.random.default_rng(3)
+    three = lambda a, b, c: jnp.asarray(
+        np.broadcast_to(np.array([a, b, c], np.float32)[:, None], (3, V)))
+    lvl = three(0.5, 0.7, 1.0)
+    mix = jnp.asarray(rng.uniform(0, 1, (V,)), jnp.float32)
+    dtc = jnp.asarray(rng.uniform(0.001, 0.4, (3, 1, V)), jnp.float32)
+    ph0 = jnp.asarray(rng.uniform(0, 1, (3, V)), jnp.float32)
+    pv0 = jnp.asarray(rng.normal(size=(3, V)), jnp.float32)
+
+    for fb_vals in ((0.0, 0.0, 0.0), (0.3, 0.0, 0.0)):
+        fast = all(v == 0.0 for v in fb_vals)
+        fb = three(*fb_vals)
+        ph_a, pv_a = ph0, pv0
+        ph_b, pv_b = ph0, pv0
+        for blk in range(3):
+            envs = [jnp.asarray(rng.uniform(0.1, 1, (B, V)), jnp.float32)
+                    for _ in range(3)]
+            ya, ph_a, pv_a = fm_chain3_scan(
+                ph_a, pv_a, dtc, lvl, fb, mix, *envs, interpret=True)
+            yb, ph_b, pv_b = _fm_chain3_pallas(
+                ph_b, pv_b, dtc, lvl, fb, mix, *envs, interpret=True)
+            np.testing.assert_array_equal(np.asarray(ph_a),
+                                          np.asarray(ph_b))
+            if fast:
+                np.testing.assert_allclose(np.asarray(ya),
+                                           np.asarray(yb), atol=1e-5)
+                np.testing.assert_allclose(np.asarray(pv_a),
+                                           np.asarray(pv_b), atol=1e-5)
+            else:
+                np.testing.assert_array_equal(np.asarray(ya),
+                                              np.asarray(yb))
+                np.testing.assert_array_equal(np.asarray(pv_a),
+                                              np.asarray(pv_b))
+
+
+def test_pivot_chain3_zero_feedback_fast_path():
+    """Pivot chain: the zero-feedback fast branch is phase-exact vs the
+    sequential pivot kernel (raw-sine prev carry, enveloped routing)
+    with output/prev at FMA-formation level, chained across blocks."""
+    from oscen_tpu.ops.pallas.fm import (_pivot_chain3_pallas,
+                                         pivot_chain3_scan)
+
+    V, B = 4, 64
+    rng = np.random.default_rng(4)
+    three = lambda a, b, c: jnp.asarray(
+        np.broadcast_to(np.array([a, b, c], np.float32)[:, None], (3, V)))
+    lvl = three(0.5, 0.7, 1.0)
+    mix = jnp.asarray(rng.uniform(0, 1, (V,)), jnp.float32)
+    dtc = jnp.asarray(rng.uniform(0.001, 0.4, (3, 1, V)), jnp.float32)
+    ph0 = jnp.asarray(rng.uniform(0, 1, (3, V)), jnp.float32)
+    pv0 = jnp.asarray(rng.normal(size=(3, V)), jnp.float32)
+    fb = three(0.0, 0.0, 0.0)
+
+    ph_a, pv_a = ph0, pv0
+    ph_b, pv_b = ph0, pv0
+    for blk in range(3):
+        envs = [jnp.asarray(rng.uniform(0.1, 1, (B, V)), jnp.float32)
+                for _ in range(3)]
+        ya, ph_a, pv_a = pivot_chain3_scan(
+            ph_a, pv_a, dtc, lvl, fb, mix, *envs, interpret=True)
+        yb, ph_b, pv_b = _pivot_chain3_pallas(
+            ph_b, pv_b, dtc, lvl, fb, mix, *envs, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ph_a), np.asarray(ph_b))
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pv_a), np.asarray(pv_b),
+                                   atol=1e-5)
+
+
 def test_adsr_pallas_matches_tick():
     """The ADSR Pallas kernel replays the exact per-sample state machine
     through a full gate-on → A/D/S → gate-off → R → idle cycle."""
