@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..core.events import EventBuffer
 from ..core.types import Kind
-from .ir import Const, EdgeKernel, EndpointRef, Fanout, IrEdge
+from .ir import (BinOp, Call, Const, EdgeKernel, EndpointRef, Fanout,
+                 FrameCtor, IrEdge)
 
 __all__ = ["make_block_fn"]
 
@@ -435,8 +436,11 @@ def make_block_fn(prog, block_len: int, shard=None):
         def const_eps(name: str) -> frozenset:
             """Input endpoints of ``name`` that are provably block-
             constant at TRACE time: unconnected (default fill) or fed
-            only by plain edges from graph inputs staged as [1]
-            (``const_inputs``).  Nodes whose ``process_block`` takes a
+            only by plain edges whose source expression is constant —
+            every EndpointRef leaf a graph input staged as [1]
+            (``const_inputs``), the rest literals/arithmetic on them
+            (e.g. flattened subgraph-input defaults lower to ``Const``
+            expressions).  Nodes whose ``process_block`` takes a
             ``const_ins`` kwarg receive this set and may compile away
             runtime param-change branches (e.g. Tremolo's rate-ramp
             scan)."""
@@ -451,14 +455,26 @@ def make_block_fn(prog, block_len: int, shard=None):
                             in const_inputs)
                 return False
 
+            def expr_const(ex) -> bool:
+                if isinstance(ex, Const):
+                    return True
+                if isinstance(ex, BinOp):
+                    return expr_const(ex.lhs) and expr_const(ex.rhs)
+                if isinstance(ex, Call):
+                    return all(expr_const(a) for a in ex.args)
+                if isinstance(ex, FrameCtor):
+                    return all(expr_const(c) for c in ex.channels)
+                if isinstance(ex, EndpointRef):
+                    return src_const(ex)
+                return False
+
             for ep in inst.node.INPUTS:
                 if ep.kind in (Kind.EVENT, Kind.ASSET):
                     continue
                 edges = prog.edges_by_dst.get((name, ep.name), [])
                 ok = True
                 for e in edges:
-                    if not (isinstance(e.source, EndpointRef)
-                            and src_const(e.source)
+                    if not (expr_const(e.source)
                             and e.kernel == EdgeKernel.NONE
                             and not e.is_feedback):
                         ok = False
