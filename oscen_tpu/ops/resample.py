@@ -198,17 +198,41 @@ class _Halfband2xUp:
 
 class _Halfband2xDown:
     """One 2x down stage: 23-tap FIR at the high rate sampled at even
-    indices (reference sinc_fir.rs:84-144)."""
+    indices (reference sinc_fir.rs:84-144).
 
-    TAPS = _HB23
+    Computed polyphase at the LOW rate: only even output samples are
+    kept, and a halfband's odd taps are zero except the center, so
+    ``y[n] = Σ_j h[2j]·x_even[n-j] + h[11]·x_odd[n-6]`` — 13 tap-MACs
+    over [B]-length streams instead of 23 over [2B] (3.5× less work).
+    The accumulation order interleaves the center tap between j=5 and
+    j=6 exactly where tap index 11 sits in the flat 23-tap loop, so the
+    result is bit-identical to the direct high-rate form."""
+
+    EVEN_TAPS = np.concatenate([HALFBAND_23_HALF, HALFBAND_23_HALF[::-1]])
+    CENTER = float(HALFBAND_23_CENTER)
+    ODD_DELAY = 6
 
     def init_state(self, like=None):
         shape = jnp.shape(like)[1:] if like is not None else ()
-        return {"hist": jnp.zeros((22,) + shape, jnp.float32)}
+        return {"hist_e": jnp.zeros((11,) + shape, jnp.float32),
+                "hist_o": jnp.zeros((self.ODD_DELAY,) + shape,
+                                    jnp.float32)}
 
     def process_block(self, state, x):
-        y, hist = _causal_fir(x, state["hist"], self.TAPS)
-        return {"hist": hist}, y[::2]
+        b = x.shape[0] // 2
+        pair = x.reshape((b, 2) + x.shape[1:])
+        e, o = pair[:, 0], pair[:, 1]
+        ze = jnp.concatenate([state["hist_e"], e], axis=0)
+        zo = jnp.concatenate([state["hist_o"], o], axis=0)
+        taps = self.EVEN_TAPS
+        y = jnp.zeros_like(e)
+        for j in range(12):
+            if j == 6:  # flat tap index 11 (the center) lands here
+                y = y + self.CENTER * jax.lax.slice_in_dim(
+                    zo, 0, b, axis=0)
+            y = y + taps[j] * jax.lax.slice_in_dim(
+                ze, 11 - j, 11 - j + b, axis=0)
+        return {"hist_e": ze[-11:], "hist_o": zo[-self.ODD_DELAY:]}, y
 
 
 class SincUpFir:
