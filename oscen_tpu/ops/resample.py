@@ -259,22 +259,109 @@ class SincUpFir:
 
 
 class SincDownFir:
+    """Cascaded halfband 2x down stages, evaluated phase-major.
+
+    The interleaved-stream form pays ~3 µs per stage in deinterleave
+    relayouts and inter-stage glue on TPU while the tap FMAs are nearly
+    free (tools/downabl.py: 13 shifted FMAs over [4B] = 0.84 µs, the
+    two-stage cascade = 16.3 µs).  So the input is deinterleaved ONCE
+    into its N phase streams ([B]-length rows) and every stage is pure
+    static-shift FMAs over phase rows: a stage from 2M phases to M maps
+    tap j of output phase r to input phase (r-j) mod M at shift
+    (r-j)//M.  Per-output-sample accumulation order is unchanged
+    (j=0..5, center, j=6..11), so the result is bit-identical to the
+    interleaved form (and to the reference's per-sample loop,
+    sinc_fir.rs:84-144)."""
+
+    HIST = 12  # per-phase history rows kept per stage (≥ max back-shift)
+
     def __init__(self, n: int):
         self.n = n
-        self.stages = [_Halfband2xDown() for _ in range(_stages(n))]
+        self.k = _stages(n)
+        self.stages = [_Halfband2xDown() for _ in range(self.k)]
+
+    @staticmethod
+    def _phase_major() -> bool:
+        """Phase-major on TPU, stage-interleaved on CPU.
+
+        Same per-sample op order either way (bit-identical in exact
+        arithmetic); the split exists because XLA CPU's thread-
+        partitioned fused loops contract FMAs differently in their
+        scalar epilogues depending on array length — the phase-major
+        slices' misaligned offsets expose that as 1-ulp block-size
+        variance under --xla_force_host_platform_device_count=8, while
+        TPU vectorization is uniform across the block (no scalar
+        epilogues), so the fast form is invariant there (verified
+        on-chip, tests/test_block_invariance.py::..._tpu)."""
+        env = os.environ.get("OSCEN_SINC_PHASEMAJOR")
+        if env is not None:
+            return env == "1"
+        return jax.default_backend() != "cpu"
 
     def init_state(self, like=None):
-        return tuple(s.init_state(like) for s in self.stages)
+        shape = jnp.shape(like)[1:] if like is not None else ()
+        if not self._phase_major():
+            return tuple(s.init_state(like) for s in self.stages)
+        state = []
+        m = self.n
+        for _ in range(self.k):
+            state.append(tuple(jnp.zeros((self.HIST,) + shape, jnp.float32)
+                               for _ in range(m)))
+            m //= 2
+        return tuple(state)
+
+    def _stage(self, hists, phases):
+        """One 2M→M-phase halfband-down stage.  ``hists``: one [HIST,...]
+        array per input phase; ``phases``: 2M arrays of [B,...]."""
+        L = self.HIST
+        b = phases[0].shape[0]
+        z = [jnp.concatenate([h, p], axis=0) for h, p in zip(hists, phases)]
+        even, odd = z[0::2], z[1::2]
+        m = len(even)
+        taps = _Halfband2xDown.EVEN_TAPS
+        center = _Halfband2xDown.CENTER
+
+        def at(streams, r, shift_units):
+            # sample (m*n + r + shift_units) of the rate-M stream whose
+            # phases are ``streams`` → phase (r+shift) mod m, row offset
+            # (r+shift)//m  (negative → history rows)
+            t = r + shift_units
+            ph, q = t % m, t // m  # floor div/mod handle negatives
+            return jax.lax.slice_in_dim(streams[ph], L + q, L + q + b,
+                                        axis=0)
+
+        out = []
+        for r in range(m):
+            y = jnp.zeros_like(phases[0])
+            for j in range(12):
+                if j == 6:
+                    y = y + center * at(odd, r, -6)
+                y = y + taps[j] * at(even, r, -j)
+            out.append(y)
+        new_hists = tuple(s[-L:] for s in z)
+        return new_hists, out
 
     def process_block(self, state, x):
-        new = []
-        for st, stage in zip(state, self.stages):
-            st, x = stage.process_block(st, x)
-            new.append(st)
-        return tuple(new), x
+        n, b = self.n, x.shape[0] // self.n
+        if self.k == 0:
+            return state, x
+        if not self._phase_major():
+            new = []
+            for st, stage in zip(state, self.stages):
+                st, x = stage.process_block(st, x)
+                new.append(st)
+            return tuple(new), x
+        # one deinterleave: [n*b, ...] -> n contiguous phase rows [b, ...]
+        ph = jnp.moveaxis(jnp.reshape(x, (b, n) + x.shape[1:]), 1, 0)
+        phases = [ph[r] for r in range(n)]
+        new_state = []
+        for s in range(self.k):
+            hists, phases = self._stage(state[s], phases)
+            new_state.append(hists)
+        return tuple(new_state), phases[0]
 
     def latency_samples(self) -> int:
-        k = len(self.stages)
+        k = self.k
         return 0 if k == 0 else HALFBAND_23_GROUP_DELAY * ((1 << k) - 1)
 
 
