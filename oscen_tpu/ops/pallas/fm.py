@@ -294,8 +294,9 @@ def _fm_chain3_pallas(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
     # U need not divide B (activity guards mask the rounded-up tail);
     # 64 is the measured VPU sweet spot for unrolled sample loops at
     # production block sizes; small blocks keep U=8 so interpret-mode
-    # tests don't unroll hundreds of samples into one traced body
-    U = 64 if B + 2 >= 256 else 8
+    # tests don't unroll hundreds of samples into one traced body.
+    # OSCEN_UNROLL_CAP lowers it (Mosaic compile time vs throughput).
+    U = pick_unroll(256, 64) if B + 2 >= 256 else 8
     NI = -(-(B + 2) // U) * U  # pipeline prologue(2) + round up to U
 
     def shifted(x, lag):
@@ -482,7 +483,7 @@ def _pivot_chain3_pallas(phases, prevs, dt, lvl, fb, mix, env3, env2,
                          env1, interpret: bool = False):
     B, V = env3.shape
     padV = (-V) % 128
-    U = 64 if B + 2 >= 256 else 8  # see fm_chain3_scan
+    U = pick_unroll(256, 64) if B + 2 >= 256 else 8  # see fm_chain3_scan
     NI = -(-(B + 2) // U) * U
 
     def shifted(x, lag):

@@ -27,7 +27,14 @@ def pick_unroll(n: int, max_u: int = 64) -> int:
     overhead; measured on a v5e the additive kernel improves monotonically
     up to U=64 (40.5 -> 8-12 us per 1024-sample block) and regresses
     beyond (23 us at U=128 — code size / scheduling), so 64 is the cap.
+
+    ``OSCEN_UNROLL_CAP`` overrides ``max_u`` globally — Mosaic compile
+    time grows superlinearly with the unrolled body, so a lower cap
+    trades steady-state throughput for startup latency (tools/uabl.py).
     """
+    cap = os.environ.get("OSCEN_UNROLL_CAP")
+    if cap is not None:
+        max_u = min(max_u, int(cap))
     u = 1
     while u < max_u and n % (u * 2) == 0:
         u *= 2

