@@ -11,9 +11,13 @@ target is >= 1000x real time per chip for 256 voices, so
 ``vs_baseline = value / 1000``.
 
 Prints JSON result lines: {"metric", "value", "unit", "vs_baseline", ...}.
+BOTH latency classes are measured every run — B=4096 (bulk/offline, 85 ms)
+and B=1024 (streaming, 21 ms; nearest the reference's 512-frame realtime
+callbacks) — one JSON line each, the streaming line printed LAST so a
+last-line consumer records the streaming-class number as the headline.
 The FIRST valid measurement window is printed immediately; further windows
-refine (re-print) the line while the wall budget lasts — consumers should
-take the LAST JSON line.  The whole run is hard-capped:
+refine (re-print) the lines while the wall budget lasts — consumers should
+take the LAST JSON line per metric.  The whole run is hard-capped:
 
 * a supervisor process enforces ``OSCEN_BENCH_BUDGET_S`` (default 240 s)
   of total wall time — the measurement child is killed at the deadline and
@@ -130,12 +134,14 @@ def measure() -> None:
 
     NUM_VOICES = 256
     SR = 48_000.0
-    # Headline block size: 4096.  BASELINE.md pins voices (256) and rate
-    # (48 kHz), not block size; B=4096 is bulk/offline-serving class
-    # (85 ms latency, reported in the JSON line).  B=1024 (21 ms,
-    # streaming class, nearest the reference's 512-frame callbacks) is
-    # selectable with --block=1024 and its numbers live in PERF.md.
-    BLOCK = 4096
+    # BOTH latency classes are measured and recorded every run (VERDICT
+    # r04 next-1): B=4096 (85 ms, bulk/offline serving) and B=1024
+    # (21 ms, streaming class — nearest the reference's 512-frame
+    # realtime callbacks, /root/reference/examples/electric-piano/src/
+    # main.rs:205-209).  One JSON line per block size, the streaming
+    # B=1024 line printed LAST so a last-line consumer records the
+    # streaming-class number as the round's headline.
+    BLOCKS = [4096, 1024]
     mode = "block"
     model = "electric_piano"
     for a in sys.argv[1:]:
@@ -144,7 +150,7 @@ def measure() -> None:
         if a.startswith("--model="):
             model = a.split("=", 1)[1]
         if a.startswith("--block="):
-            BLOCK = int(a.split("=", 1)[1])
+            BLOCKS = [int(b) for b in a.split("=", 1)[1].split(",")]
 
     if model == "electric_piano":
         g = build_electric_piano(NUM_VOICES)
@@ -176,21 +182,25 @@ def measure() -> None:
         raise SystemExit(f"unknown --model={model} (electric_piano, "
                          f"poly_synth, fm_synth, pivot, readme_synth, "
                          f"simple_echo, saturator)")
-    print(f"[bench] compiling {model} B={BLOCK} mode={mode}", flush=True)
-    synth = g.compile(sample_rate=SR, block_size=BLOCK, mode=mode)
 
     def audio_of(outs):
         return next(v for v in outs.values() if hasattr(v, "shape"))
 
-    has_midi = any(i.name == "midi_in" for i in synth.ir.inputs)
-    # strike a large chord so every voice is active
-    for i in range(NUM_VOICES if has_midi else 0):
-        synth.queue_event("midi_in", 0, raw_midi_event([0x90, 36 + (i % 64),
-                                                        100]))
-    # first block carries the events; steady-state rendering follows
-    out = synth.process_block()
-    jax.block_until_ready(audio_of(out))
-    print("[bench] first block rendered", flush=True)
+    synths = {}
+    for BLOCK in BLOCKS:
+        print(f"[bench] compiling {model} B={BLOCK} mode={mode}",
+              flush=True)
+        synth = g.compile(sample_rate=SR, block_size=BLOCK, mode=mode)
+        has_midi = any(i.name == "midi_in" for i in synth.ir.inputs)
+        # strike a large chord so every voice is active
+        for i in range(NUM_VOICES if has_midi else 0):
+            synth.queue_event("midi_in", 0,
+                              raw_midi_event([0x90, 36 + (i % 64), 100]))
+        # first block carries the events; steady-state rendering follows
+        out = synth.process_block()
+        jax.block_until_ready(audio_of(out))
+        print(f"[bench] first block rendered B={BLOCK}", flush=True)
+        synths[BLOCK] = synth
 
     # The tunnel to the chip has a large, fluctuating round-trip latency
     # (0.1-30 ms observed) and limited bandwidth.  steady_checksum renders
@@ -198,11 +208,12 @@ def measure() -> None:
     # compute); timing two span lengths and subtracting cancels the RTT,
     # leaving pure chip throughput.
     n_small, n_large = 256, 2048
-    for n in (n_small, n_large):  # warmup/compile both variants
-        synth.steady_checksum(n)
+    for BLOCK in BLOCKS:  # warmup/compile both variants
+        for n in (n_small, n_large):
+            synths[BLOCK].steady_checksum(n)
     print("[bench] warmup done", flush=True)
 
-    def span(n):
+    def span(synth, n):
         t0 = time.perf_counter()
         synth.steady_checksum(n)
         return time.perf_counter() - t0
@@ -213,21 +224,22 @@ def measure() -> None:
     # measured 21.3 and 26.5 us/block an hour apart, and ±2 us within a
     # minute), so we keep sampling windows while the wall budget lasts:
     # the best window estimates capability, the median the typical state
-    # (criterion-style).  The result line is printed after the FIRST
+    # (criterion-style).  The result lines are printed after the FIRST
     # window and refined (re-printed) after each later one, so a mid-run
     # relay drop can never erase the measurement.
-    def window():
-        diffs = sorted(span(n_large) - span(n_small) for _ in range(5))
+    def window(synth):
+        diffs = sorted(span(synth, n_large) - span(synth, n_small)
+                       for _ in range(5))
         return max(diffs[2], 1e-9)
 
-    frames = (n_large - n_small) * BLOCK
-
-    def emit(windows):
+    def emit(BLOCK, windows):
+        frames = (n_large - n_small) * BLOCK
         ws = sorted(windows)
         rtf = (frames / SR) / ws[0]                    # best (capability)
         rtf_median = (frames / SR) / ws[len(ws) // 2]  # typical
         print(json.dumps({
-            "metric": f"{model}_{NUM_VOICES}v_rtf_48k",
+            "metric": f"{model}_{NUM_VOICES}v_rtf_48k"
+                      + ("" if BLOCK == BLOCKS[-1] else f"_b{BLOCK}"),
             "value": round(rtf, 2),
             "unit": "x_realtime",
             "vs_baseline": round(rtf / 1000.0, 4),
@@ -241,15 +253,19 @@ def measure() -> None:
             "windows": len(ws),
         }), flush=True)
 
-    windows = [window()]
-    emit(windows)  # the round's number now exists whatever happens next
+    windows = {B: [window(synths[B])] for B in BLOCKS}
+    for B in BLOCKS:   # the round's numbers now exist whatever happens next
+        emit(B, windows[B])
     MAX_WINDOWS = 7
-    while len(windows) < MAX_WINDOWS and time.monotonic() + 8.0 < stop_by:
+    while (min(len(w) for w in windows.values()) < MAX_WINDOWS
+           and time.monotonic() + 8.0 * len(BLOCKS) < stop_by):
         time.sleep(min(6.0, max(0.0, stop_by - time.monotonic() - 2.0)))
-        if time.monotonic() + 2.0 >= stop_by:
+        if time.monotonic() + 2.0 * len(BLOCKS) >= stop_by:
             break
-        windows.append(window())
-        emit(windows)
+        for B in BLOCKS:  # re-emit BOTH so the streaming line stays last
+            windows[B].append(window(synths[B]))
+        for B in BLOCKS:
+            emit(B, windows[B])
 
 
 if __name__ == "__main__":

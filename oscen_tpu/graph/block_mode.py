@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..core.events import EventBuffer
 from ..core.types import Kind
+from . import explain
 from .ir import (BinOp, Call, Const, EdgeKernel, EndpointRef, Fanout,
                  FrameCtor, IrEdge)
 
@@ -483,6 +484,53 @@ def make_block_fn(prog, block_len: int, shard=None):
                     out.add(ep.name)
             return frozenset(out)
 
+        def literal_eps(name: str) -> dict:
+            """Value endpoints of ``name`` whose staged value is a
+            TRACE-TIME LITERAL: unconnected (default fill) or fed only by
+            Const / arithmetic-of-Const edges (flattened subgraph-input
+            defaults lower to Const, builder.py::subst_input).  Unlike
+            ``const_eps`` (block-constant but runtime-valued [1]
+            staging), these values are part of the trace itself — a node
+            may specialize branches on them with NO runtime check (e.g.
+            the FM chain compiles only its zero-feedback branch when
+            every feedback is literally 0.0, the reference default).
+            Returns {endpoint: float}."""
+            inst = ir.nodes[name]
+
+            def lit(ex):
+                if isinstance(ex, Const):
+                    return float(ex.value)
+                if isinstance(ex, BinOp):
+                    l, r = lit(ex.lhs), lit(ex.rhs)
+                    if l is None or r is None or ex.op not in "+-*/":
+                        return None
+                    return {"+": l + r, "-": l - r,
+                            "*": l * r, "/": l / r}[ex.op]
+                return None
+
+            out = {}
+            for ep in inst.node.INPUTS:
+                if ep.kind != Kind.VALUE:
+                    continue
+                edges = prog.edges_by_dst.get((name, ep.name), [])
+                if not edges:
+                    out[ep.name] = float(ep.default or 0.0)
+                    continue
+                total, ok = None, True
+                for e in edges:
+                    if (e.kernel != EdgeKernel.NONE or e.is_feedback
+                            or e.dst_index is not None):
+                        ok = False
+                        break
+                    v = lit(e.source)
+                    if v is None:
+                        ok = False
+                        break
+                    total = v if total is None else total + v
+                if ok:
+                    out[ep.name] = total
+            return out
+
         def _default_block(inst, ep, B):
             full = ((eff(inst.count),) if inst.count > 1 else ()) \
                 + (B * inst.rate,) + _payload_shape(ep)
@@ -493,7 +541,12 @@ def make_block_fn(prog, block_len: int, shard=None):
 
         def process_single(name: str) -> None:
             if name in fused_away:
+                explain.note(node=name, path="fused_into_producer_epilogue")
                 return  # ran inside its producer's kernel epilogue
+            with explain.processing(name):
+                _process_single_inner(name)
+
+        def _process_single_inner(name: str) -> None:
             inst = ir.nodes[name]
             node = inst.node
             sr = prog.scaled_sr(inst)
@@ -534,23 +587,33 @@ def make_block_fn(prog, block_len: int, shard=None):
                     kw["fanin_eps"] = fanin_only.get(name, frozenset())
                 if "const_ins" in sig.parameters:
                     kw["const_ins"] = const_eps(name)
+                if "literal_ins" in sig.parameters:
+                    kw["literal_ins"] = literal_eps(name)
                 if epi is not None:
                     kw["epilogue"] = (epi[0], epi[2], epi[3], epi[4])
                 batched = node.process_block_batched(
                     st, ins, evs, sr, Bn, **kw)
             if batched is not None:
+                if explain.active():
+                    explain.note(path="batched",
+                                 const_ins=sorted(const_eps(name)))
                 st, outs = batched
                 if epi is not None and f"__epi__{epi[0]}" in outs:
                     _ep, _t, _C, _fn, _params, _tstate, _oname = epi
                     env[(_t, _oname)] = outs.pop(f"__epi__{_ep}")
                     new_state[_t] = _tstate
                     fused_away.add(_t)
+                    explain.note(epilogue_fused_consumer=_t)
             elif inst.count > 1:
+                explain.note(path="vmap")
                 st, outs = jax.vmap(
                     lambda s, i, ev: node.process_block(
                         s, i, ev, sr, Bn),
                     in_axes=(0, 0, 0))(st, ins, evs)
             else:
+                if explain.active():
+                    explain.note(path="block",
+                                 const_ins=sorted(const_eps(name)))
                 import inspect as _inspect
                 if "const_ins" in _inspect.signature(
                         node.process_block).parameters:
@@ -569,6 +632,8 @@ def make_block_fn(prog, block_len: int, shard=None):
                 # dissolved feedback island (all cycles pass min-delay
                 # promises >= B): read delays -> acyclic rest -> write
                 dels, rest_order = dissolve_plans[ci]
+                for d in dels:
+                    explain.note(node=d, path="dissolved_island_delay")
                 stash = {}
                 for d in dels:
                     node_d = ir.nodes[d].node
@@ -589,6 +654,9 @@ def make_block_fn(prog, block_len: int, shard=None):
             else:
                 # ---- scan island: per-sample over the component -------
                 island = comp
+                for n in island:
+                    explain.note(node=n, path="scan_island",
+                                 island=sorted(island))
                 island_set = set(island)
                 # Node arrays inside scan islands shard fine: islands are
                 # voice-independent along the array axis (per-voice

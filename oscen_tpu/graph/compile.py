@@ -1096,19 +1096,7 @@ class CompiledGraph:
         and the right way to benchmark (per-block host staging would
         otherwise dominate at >100x realtime)."""
         B = int(block_len or self.block_size)
-        ev_bufs, host_vals = self._host_prepass(B)
-        per_block: Dict[str, Any] = {}
-        for gi in self.ir.inputs:
-            if gi.kind == Kind.VALUE:
-                per_block[gi.name] = jnp.asarray(
-                    self._params[gi.name].materialize_block(B))
-            elif gi.kind == Kind.STREAM:
-                shape = (B,) if gi.channels == 1 else (B, gi.channels)
-                per_block[gi.name] = jnp.zeros(shape, jnp.float32)
-        for k, arr in host_vals.items():
-            per_block[k] = jnp.asarray(arr)
-
-        ev_caps = tuple(sorted((k, v.capacity) for k, v in ev_bufs.items()))
+        ev_bufs, per_block, ev_caps = self._steady_staging(B)
         key = ("steady", self.mode, B, ev_caps, tuple(sorted(per_block)),
                int(num_blocks))
         fn = self._block_fn_cache.get(key)
@@ -1127,10 +1115,148 @@ class CompiledGraph:
         return {k: jnp.reshape(v, (-1,) + v.shape[2:])
                 for k, v in outs.items()}
 
+    def _steady_staging(self, B: int):
+        """Event-free per-block staging at the CURRENT parameter values
+        (shared by render_steady / steady_checksum / explain)."""
+        ev_bufs, host_vals = self._host_prepass(B)
+        per_block: Dict[str, Any] = {}
+        for gi in self.ir.inputs:
+            if gi.kind == Kind.VALUE:
+                per_block[gi.name] = jnp.asarray(
+                    self._params[gi.name].materialize_block(B))
+            elif gi.kind == Kind.STREAM:
+                shape = (B,) if gi.channels == 1 else (B, gi.channels)
+                per_block[gi.name] = jnp.zeros(shape, jnp.float32)
+        for k, arr in host_vals.items():
+            per_block[k] = jnp.asarray(arr)
+        ev_caps = tuple(sorted((k, v.capacity) for k, v in ev_bufs.items()))
+        return ev_bufs, per_block, ev_caps
+
     def node_state(self, name: str):
         """Read a node's current state pytree (all node state is
         inspectable, like the reference's public generated fields)."""
         return self.state[name]
+
+    def explain(self, block_len: Optional[int] = None,
+                formatted: bool = False):
+        """Report how each node executes in the steady-state block path:
+        kernel selection, fast-path conditions met/unmet (const-dt,
+        zero-feedback, epilogue fusion, scan island vs dissolved), and
+        which inputs were provably block-constant at trace time.
+
+        The perf contract is otherwise implicit in trace-time branches
+        and runtime ``lax.cond`` predicates (e.g. the FM chain silently
+        loses its vectorized branch when a feedback param goes nonzero);
+        this surfaces it.  The trace is abstract (``jax.eval_shape`` —
+        no device execution, no state advance) against the CURRENT
+        parameter staging, so flipping a param and calling ``explain()``
+        again shows the resulting path change.  Host-side state the
+        staging prepass would normally advance (queued events, ramp
+        positions, host-node control state such as the voice allocator's
+        LRU order) is snapshotted and restored — explain() observes, it
+        never consumes.  Returns a list of note dicts (one or more per
+        node), or a formatted string with ``formatted=True``."""
+        import copy
+
+        from . import explain as _explain
+        B = int(block_len or self.block_size)
+        saved_queues = {k: list(q) for k, q in self._event_queues.items()}
+        saved_params = copy.deepcopy(self._params)
+        saved_hosts: Dict[str, Any] = {}
+        for name in self.prog.host_nodes:
+            if self.ir.nodes[name].count == 1:
+                saved_hosts[name] = copy.deepcopy(
+                    self.ir.nodes[name].node.__dict__)
+            else:
+                saved_hosts[name] = [
+                    copy.deepcopy(n.__dict__)
+                    for n in self.prog.host_instances[name]]
+        saved_ev_outs = getattr(self, "_last_event_outs", None)
+        try:
+            ev_bufs, per_block, ev_caps = self._steady_staging(B)
+            # A FRESH unjitted block fn: jit caches traces, so re-using
+            # the cached jitted fn would skip retracing (and with it the
+            # explain notes) on every call after the first.  per_block is
+            # closed over CONCRETELY rather than passed as an eval_shape
+            # argument, so parameter-dependent predicates (zero-feedback,
+            # block-constant coefficient hoists) resolve against the
+            # CURRENT values instead of reporting "runtime".
+            if self.mode == "block":
+                from .block_mode import make_block_fn
+                fn = make_block_fn(self.prog, B)
+            else:
+                fn = self._get_block_fn(B, ev_caps,
+                                        tuple(sorted(per_block)))
+            entries: list = []
+            with _explain.recording(entries):
+                jax.eval_shape(lambda s, eb: fn(s, per_block, eb),
+                               self.state, ev_bufs)
+        finally:
+            for k, evs in saved_queues.items():
+                self._event_queues[k].clear()
+                self._event_queues[k].extend(evs)
+            self._params = saved_params
+            for name, saved in saved_hosts.items():
+                if self.ir.nodes[name].count == 1:
+                    self.ir.nodes[name].node.__dict__.update(saved)
+                else:
+                    for n, s in zip(self.prog.host_instances[name], saved):
+                        n.__dict__.update(s)
+            if saved_ev_outs is not None:
+                self._last_event_outs = saved_ev_outs
+        # Resolve value predicates the trace could not (live params): the
+        # host knows every control-rate value it stages, exactly as the
+        # reference's control thread owns its params.
+        for e in entries:
+            if e.get("engaged") is None and e.get("predicate") == "all_zero":
+                vals = [self._host_input_value(e["node"], ep)
+                        for ep in e.get("predicate_eps", ())]
+                if any(v is None for v in vals):
+                    e["engaged"] = ("runtime(all == 0; source not " +
+                                    "host-resolvable)")
+                else:
+                    e["engaged"] = all(v == 0.0 for v in vals)
+        if formatted:
+            return _explain.format_report(entries)
+        return entries
+
+    def _host_input_value(self, node_name: str, ep_name: str):
+        """Current host-known value of a node's VALUE input: literal
+        Consts, arithmetic over them, and live graph params (their
+        current ramp value).  None when any feeding source is computed
+        on device (a stream / another node's output)."""
+        def ev(ex):
+            if isinstance(ex, Const):
+                return float(ex.value)
+            if isinstance(ex, BinOp):
+                l, r = ev(ex.lhs), ev(ex.rhs)
+                if l is None or r is None or ex.op not in "+-*/":
+                    return None
+                return {"+": l + r, "-": l - r,
+                        "*": l * r, "/": l / r}[ex.op]
+            if isinstance(ex, EndpointRef):
+                if ex.node == "" and ex.endpoint in self._params:
+                    return float(self._params[ex.endpoint].current)
+                return None
+            return None
+
+        edges = self.prog.edges_by_dst.get((node_name, ep_name), [])
+        inst = self.ir.nodes[node_name]
+        if not edges:
+            for ep in inst.node.INPUTS:
+                if ep.name == ep_name:
+                    return float(ep.default or 0.0)
+            return None
+        total = None
+        for e in edges:
+            if (e.kernel != EdgeKernel.NONE or e.is_feedback
+                    or e.dst_index is not None):
+                return None
+            v = ev(e.source)
+            if v is None:
+                return None
+            total = v if total is None else total + v
+        return total
 
     def latency_samples(self) -> int:
         """Total base-rate latency introduced by cross-rate Down edges
@@ -1152,38 +1278,31 @@ class CompiledGraph:
         subtracting yields pure chip throughput independent of link RTT
         and bandwidth."""
         B = int(block_len or self.block_size)
-        ev_bufs, host_vals = self._host_prepass(B)
-        per_block: Dict[str, Any] = {}
-        for gi in self.ir.inputs:
-            if gi.kind == Kind.VALUE:
-                per_block[gi.name] = jnp.asarray(
-                    self._params[gi.name].materialize_block(B))
-            elif gi.kind == Kind.STREAM:
-                shape = (B,) if gi.channels == 1 else (B, gi.channels)
-                per_block[gi.name] = jnp.zeros(shape, jnp.float32)
-        for k, arr in host_vals.items():
-            per_block[k] = jnp.asarray(arr)
-        ev_caps = tuple(sorted((k, v.capacity) for k, v in ev_bufs.items()))
-        key = ("steady_ck", self.mode, B, ev_caps,
-               tuple(sorted(per_block)), int(num_blocks))
+        ev_bufs, per_block, ev_caps = self._steady_staging(B)
+        # The span length is a RUNTIME argument (fori_loop, not a
+        # static-length scan) so one compile serves every span — the
+        # bench warms up in one compile per block size instead of one
+        # per (block size, span) pair, which halved its wall budget.
+        key = ("steady_ck", self.mode, B, ev_caps, tuple(sorted(per_block)))
         fn = self._block_fn_cache.get(key)
         if fn is None:
             inner = self._get_block_fn(B, ev_caps, tuple(sorted(per_block)))
             stream_outs = [o.name for o in self.ir.outputs
                            if o.kind != Kind.EVENT]
 
-            def steady_ck(state, per_block, ev_bufs):
-                def body(st, _):
+            def steady_ck(state, per_block, ev_bufs, n):
+                def body(_, carry):
+                    st, acc = carry
                     st, outs = inner(st, per_block, ev_bufs)
-                    return st, sum(jnp.sum(outs[n] ** 2)
-                                   for n in stream_outs)
-                st, sums = jax.lax.scan(body, state, None,
-                                        length=num_blocks)
-                return st, jnp.sum(sums)
+                    return (st, acc + sum(jnp.sum(outs[nm] ** 2)
+                                          for nm in stream_outs))
+                return jax.lax.fori_loop(
+                    0, n, body, (state, jnp.float32(0.0)))
 
             fn = jax.jit(steady_ck) if self._jit else steady_ck
             self._block_fn_cache[key] = fn
-        self.state, ck = fn(self.state, per_block, ev_bufs)
+        self.state, ck = fn(self.state, per_block, ev_bufs,
+                            jnp.int32(num_blocks))
         return float(np.asarray(ck))
 
     def render_mono(self, num_frames: int, **kw) -> np.ndarray:

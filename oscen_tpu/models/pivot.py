@@ -26,9 +26,12 @@ Signal flow per voice (pivot_voice.rs:94-173):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import SampleRate, stream, value
+from ..graph import explain
 from ..graph.builder import Graph
 from ..graph.node import Node
 from ..nodes.basic import (AddValue, Crossfade, FmOperator, Gain, Mixer,
@@ -107,8 +110,10 @@ class PivotOperatorChain(Node):
                  "prevs": jnp.stack([y3, y2, y1])},
                 {"output": out})
 
+    FB_EPS = ("op3_feedback", "op2_feedback", "op1_feedback")
+
     def process_block_batched(self, state, ins, events, sr, block_len,
-                              const_ins=frozenset()):
+                              const_ins=frozenset(), literal_ins=None):
         from ..ops.pallas.util import pallas_mode
         use, interp = pallas_mode()
         if not use:
@@ -128,13 +133,27 @@ class PivotOperatorChain(Node):
                          jnp.ones_like(ins["op2_level"][:, 0])])
         fb = jnp.stack([ins[f"op{i}_feedback"][:, 0] for i in (3, 2, 1)])
         mix = jnp.clip(ins["route"][:, 0], 0.0, 1.0)
+        # trace-time zero-feedback resolution — see FmOperatorChain
+        fb_static = None
+        lits = literal_ins or {}
+        if all(ep in lits for ep in self.FB_EPS):
+            fb_static = all(lits[ep] == 0.0 for ep in self.FB_EPS)
+        eligible = dt.shape[1] == 1 and block_len % 8 == 0
+        explain.note(kernel="pivot_chain3", const_dt=dt_const,
+                     fast_path="zero_feedback", eligible=eligible,
+                     engaged=(False if not eligible else
+                              fb_static if fb_static is not None
+                              else None),
+                     predicate="all_zero" if (eligible and
+                                              fb_static is None) else None,
+                     predicate_eps=self.FB_EPS)
         tbv = lambda v: jnp.moveaxis(v, 0, 1)
         y, ph, pv = pivot_chain3_scan(
             jnp.moveaxis(state["phases"], 0, 1),
             jnp.moveaxis(state["prevs"], 0, 1),
             dt, lvl, fb, mix,
             tbv(ins["env3"]), tbv(ins["env2"]), tbv(ins["env1"]),
-            interpret=interp)
+            interpret=interp, fb_static=fb_static)
         return ({"phases": jnp.moveaxis(ph, 0, 1),
                  "prevs": jnp.moveaxis(pv, 0, 1)},
                 {"output": jnp.moveaxis(y, 0, 1)})

@@ -19,6 +19,7 @@ The per-sample ``tick`` paths mirror the reference exactly.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -461,17 +462,38 @@ class ElectricPianoVoice(Node):
                 with_mix and epilogue[0] == "output"
                 and epilogue_supported(num_voices)):
             epilogue = None
+        from ..graph import explain
+        if explain.active():
+            from ..ops.pallas.additive import _kernel_version
+            explain.note(kernel=f"additive_voice_{_kernel_version()}",
+                         fanin_mixdown_fused=with_mix,
+                         stream_epilogue_fused=epilogue is not None)
 
         bank = state["bank"]
         amp = state["amp"]
         freq = ins["frequency"][:, 0]  # [C] (block-constant, no events)
         changed = jnp.logical_and(
             freq > 0.0, jnp.abs(bank["last_frequency"] - freq) >= 0.01)
-        n_mre, n_mim = jax.vmap(
-            lambda f: OscillatorBank._multipliers(f, sr.hz))(freq)
         ch = changed[:, None]
-        mre = jnp.where(ch, n_mre, bank["mul_re"])
-        mim = jnp.where(ch, n_mim, bank["mul_im"])
+        if os.environ.get("OSCEN_EP_MULCOND", "1") == "1":
+            # The rotation multipliers only change when a voice retunes
+            # (note-on).  Steady blocks skip the [C, H] sin/cos sweep at
+            # runtime (16k transcendentals at 256 voices) — the cond
+            # predicate is one reduction over [C].
+            def _recompute(_):
+                n_mre, n_mim = jax.vmap(
+                    lambda f: OscillatorBank._multipliers(f, sr.hz))(freq)
+                return (jnp.where(ch, n_mre, bank["mul_re"]),
+                        jnp.where(ch, n_mim, bank["mul_im"]))
+
+            mre, mim = jax.lax.cond(
+                jnp.any(changed), _recompute,
+                lambda _: (bank["mul_re"], bank["mul_im"]), None)
+        else:
+            n_mre, n_mim = jax.vmap(
+                lambda f: OscillatorBank._multipliers(f, sr.hz))(freq)
+            mre = jnp.where(ch, n_mre, bank["mul_re"])
+            mim = jnp.where(ch, n_mim, bank["mul_im"])
         ore = jnp.where(ch, 1.0, bank["osc_re"])
         oim = jnp.where(ch, 0.0, bank["osc_im"])
         last = jnp.where(changed, freq, bank["last_frequency"])

@@ -240,11 +240,19 @@ class TptFilter(Node):
         # (always hoisted — ONLY valid for block-constant params; for
         # measurement/ablation use)
         _mode = os.environ.get("OSCEN_TPT_COEF", "cond")
+        from ..graph import explain
         if _mode == "slow":
+            explain.note(kernel="tpt_svf_scan", coef_path="sweep")
             out = slow(None)
         elif _mode == "fast" or not rt_keys:
+            explain.note(kernel="tpt_svf_scan", coef_path="hoisted",
+                         const_params=not rt_keys)
             out = fast(None)
         else:
+            explain.note(
+                kernel="tpt_svf_scan",
+                coef_path="runtime(hoisted when params block-constant)",
+                runtime_checked_params=list(rt_keys))
             out = jax.lax.cond(const, fast, slow, operand=None)
         y, z0, z1 = out[0], out[1], out[2]
         fin = dict(zip(fin_keys, out[3:]))

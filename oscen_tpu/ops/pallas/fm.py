@@ -252,9 +252,9 @@ def _pivot_chain3_fast(phases, prevs, dt_rows, lvl, mix, e3, e2, e1,
     return out, phc, pv
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "fb_static"))
 def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
-                   interpret: bool = False):
+                   interpret: bool = False, fb_static=None):
     """One block of the fused 3-operator FM voice chain, all voices.
 
     Args: phases/prevs ``[3, V]`` (op3, op2, op1 order); dt ``[3, B, V]``
@@ -268,21 +268,30 @@ def fm_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
     the same ``sin·(env·lvl)`` association so parity stays bit-exact.
 
     Steady blocks with every feedback at 0 (the reference default) take
-    the vectorized zero-feedback branch via a runtime ``lax.cond`` —
-    phase-exact, output within ~1 ulp/op of the sequential kernel (FMA
-    formation; see :func:`_fm_chain3_fast`), only the phase recurrence
-    stays sequential.
+    the vectorized zero-feedback branch — phase-exact, output within
+    ~1 ulp/op of the sequential kernel (FMA formation; see
+    :func:`_fm_chain3_fast`), only the phase recurrence stays
+    sequential.  ``fb_static`` lets the caller resolve the branch at
+    TRACE time when the feedback params are trace-time literals (the
+    common case: unconnected defaults / flattened-subgraph Consts):
+    True compiles ONLY the fast branch, False only the sequential
+    kernel, None emits the runtime ``lax.cond``.
     """
     B, V = env3.shape
     if dt.shape[1] == 1 and B % 8 == 0:
         dt_rows = dt[:, 0, :]
-        return jax.lax.cond(
-            jnp.all(fb == 0.0),
-            lambda: _fm_chain3_fast(phases, prevs, dt_rows, lvl, mix,
-                                    env3 * lvl[0], env2 * lvl[1],
-                                    env1 * lvl[2], interpret),
-            lambda: _fm_chain3_pallas(phases, prevs, dt, lvl, fb, mix,
-                                      env3, env2, env1, interpret))
+        if fb_static is True:
+            return _fm_chain3_fast(phases, prevs, dt_rows, lvl, mix,
+                                   env3 * lvl[0], env2 * lvl[1],
+                                   env1 * lvl[2], interpret)
+        if fb_static is None:
+            return jax.lax.cond(
+                jnp.all(fb == 0.0),
+                lambda: _fm_chain3_fast(phases, prevs, dt_rows, lvl, mix,
+                                        env3 * lvl[0], env2 * lvl[1],
+                                        env1 * lvl[2], interpret),
+                lambda: _fm_chain3_pallas(phases, prevs, dt, lvl, fb, mix,
+                                          env3, env2, env1, interpret))
     return _fm_chain3_pallas(phases, prevs, dt, lvl, fb, mix, env3, env2,
                              env1, interpret)
 
@@ -446,9 +455,9 @@ def _pivot3_pipe_kernel(B, U, ph_ref, prev_ref, dt3_ref, dt2_ref, dt1_ref,
     prev_o[:] = prev
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "fb_static"))
 def pivot_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
-                      interpret: bool = False):
+                      interpret: bool = False, fb_static=None):
     """One block of the fused pivot operator chain, all voices.
 
     Args as :func:`fm_chain3_scan`; ``prevs`` carries the RAW sine
@@ -460,21 +469,29 @@ def pivot_chain3_scan(phases, prevs, dt, lvl, fb, mix, env3, env2, env1,
     Returns (y ``[B, V]`` — the vca1 output, pre-filter; phases'; prevs').
 
     Steady zero-feedback blocks (the reference default,
-    pivot/src/main.rs:69-84) take the vectorized fast branch via a
-    runtime ``lax.cond`` — phase-exact, output within ~1 ulp/op (FMA
-    formation, see :func:`_fm_chain3_fast`), only the phase recurrence
-    stays sequential.
+    pivot/src/main.rs:69-84) take the vectorized fast branch —
+    phase-exact, output within ~1 ulp/op (FMA formation, see
+    :func:`_fm_chain3_fast`), only the phase recurrence stays
+    sequential.  ``fb_static`` resolves the branch at trace time
+    (see :func:`fm_chain3_scan`); None emits the runtime ``lax.cond``.
     """
     B, V = env3.shape
     if dt.shape[1] == 1 and B % 8 == 0:
         dt_rows = dt[:, 0, :]
-        return jax.lax.cond(
-            jnp.all(fb == 0.0),
-            lambda: _pivot_chain3_fast(phases, prevs, dt_rows, lvl, mix,
-                                       env3 * lvl[0], env2 * lvl[1],
-                                       env1 * lvl[2], interpret),
-            lambda: _pivot_chain3_pallas(phases, prevs, dt, lvl, fb, mix,
-                                         env3, env2, env1, interpret))
+        if fb_static is True:
+            return _pivot_chain3_fast(phases, prevs, dt_rows, lvl, mix,
+                                      env3 * lvl[0], env2 * lvl[1],
+                                      env1 * lvl[2], interpret)
+        if fb_static is None:
+            return jax.lax.cond(
+                jnp.all(fb == 0.0),
+                lambda: _pivot_chain3_fast(phases, prevs, dt_rows, lvl,
+                                           mix, env3 * lvl[0],
+                                           env2 * lvl[1], env1 * lvl[2],
+                                           interpret),
+                lambda: _pivot_chain3_pallas(phases, prevs, dt, lvl, fb,
+                                             mix, env3, env2, env1,
+                                             interpret))
     return _pivot_chain3_pallas(phases, prevs, dt, lvl, fb, mix, env3,
                                 env2, env1, interpret)
 

@@ -34,8 +34,15 @@ def pick_unroll(n: int, max_u: int = 64) -> int:
     """
     cap = os.environ.get("OSCEN_UNROLL_CAP")
     if cap is not None:
-        max_u = min(max_u, int(cap))
+        try:
+            cap_i = int(cap)
+        except ValueError as e:
+            raise ValueError(
+                f"OSCEN_UNROLL_CAP must be an integer, got {cap!r}") from e
+        max_u = min(max_u, max(1, cap_i))
     u = 1
     while u < max_u and n % (u * 2) == 0:
         u *= 2
+    while u > max_u:  # non-power-of-two caps: clamp down to a divisor
+        u //= 2
     return u

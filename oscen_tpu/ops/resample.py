@@ -270,8 +270,19 @@ class SincDownFir:
     tap j of output phase r to input phase (r-j) mod M at shift
     (r-j)//M.  Per-output-sample accumulation order is unchanged
     (j=0..5, center, j=6..11), so the result is bit-identical to the
-    interleaved form (and to the reference's per-sample loop,
-    sinc_fir.rs:84-144)."""
+    prior interleaved form.  Parity with the reference's per-sample loop
+    (sinc_fir.rs:84-144) is tolerance-level only: the reference
+    accumulates the center tap first and symmetric pairs as
+    ``(left+right)*tap`` — a different float op order.
+
+    The layout choice (phase-major vs interleaved) is FROZEN at
+    construction time — ``OSCEN_SINC_PHASEMAJOR`` is read once in
+    ``__init__`` and must not change between ``init_state`` and
+    ``process_block`` (the two layouts carry different state pytrees).
+    Consequence: checkpoints containing sinc-down state are
+    layout-specific; a checkpoint saved with the TPU default
+    (phase-major) restores on CPU only if the graph is compiled with
+    ``OSCEN_SINC_PHASEMAJOR=1`` set before construction."""
 
     HIST = 12  # per-phase history rows kept per stage (≥ max back-shift)
 
@@ -279,24 +290,24 @@ class SincDownFir:
         self.n = n
         self.k = _stages(n)
         self.stages = [_Halfband2xDown() for _ in range(self.k)]
-
-    @staticmethod
-    def _phase_major() -> bool:
-        """Phase-major on TPU, stage-interleaved on CPU.
-
-        Same per-sample op order either way (bit-identical in exact
-        arithmetic); the split exists because XLA CPU's thread-
-        partitioned fused loops contract FMAs differently in their
-        scalar epilogues depending on array length — the phase-major
-        slices' misaligned offsets expose that as 1-ulp block-size
-        variance under --xla_force_host_platform_device_count=8, while
-        TPU vectorization is uniform across the block (no scalar
-        epilogues), so the fast form is invariant there (verified
-        on-chip, tests/test_block_invariance.py::..._tpu)."""
+        # Phase-major on TPU, stage-interleaved on CPU — same per-sample
+        # op order either way (bit-identical in exact arithmetic); the
+        # split exists because XLA CPU's thread-partitioned fused loops
+        # contract FMAs differently in their scalar epilogues depending
+        # on array length, which the phase-major slices' misaligned
+        # offsets expose as 1-ulp block-size variance, while TPU
+        # vectorization is uniform across the block (no scalar
+        # epilogues).  CPU phase-major block-size invariance for static
+        # shapes is pinned by test_multirate_boundary_invariance's
+        # sinc_phasemajor parametrization (tests/test_block_invariance.py).
         env = os.environ.get("OSCEN_SINC_PHASEMAJOR")
         if env is not None:
-            return env == "1"
-        return jax.default_backend() != "cpu"
+            self.phase_major = env == "1"
+        else:
+            self.phase_major = jax.default_backend() != "cpu"
+
+    def _phase_major(self) -> bool:
+        return self.phase_major
 
     def init_state(self, like=None):
         shape = jnp.shape(like)[1:] if like is not None else ()

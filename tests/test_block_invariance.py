@@ -142,12 +142,28 @@ def test_full_voice_invariance():
     assert np.abs(outs[512]).max() > 0.05
 
 
-@pytest.mark.parametrize("policy", ["sinc", "sinc_iir", "linear", "latch"])
-def test_multirate_boundary_invariance(policy):
+@pytest.mark.parametrize("policy", ["sinc", "sinc_phasemajor", "sinc_iir",
+                                    "linear", "latch"])
+def test_multirate_boundary_invariance(policy, monkeypatch):
     """Oversampled regions (every resampler family at the boundary) are
     block-size invariant — the IIR halfband allpasses replay the exact
-    per-sample op order rather than an associative scan."""
+    per-sample op order rather than an associative scan.
+
+    ``sinc_phasemajor`` exercises the TPU-default phase-major sinc-down
+    layout (ops/resample.py::SincDownFir) on CPU.  It is bit-invariant on
+    TPU and on plain CPU, but under this suite's forced
+    ``--xla_force_host_platform_device_count=8`` XLA CPU's
+    thread-partitioned fused loops contract FMAs differently in their
+    scalar epilogues depending on slice offsets, producing exactly-1-ulp
+    (5.96e-8) differences at a handful of samples — so this lane pins a
+    1-ulp bound rather than bit equality (a layout/logic regression would
+    exceed it by orders of magnitude)."""
     from oscen_tpu import HardClip
+
+    tol = 0.0
+    if policy == "sinc_phasemajor":
+        monkeypatch.setenv("OSCEN_SINC_PHASEMAJOR", "1")
+        policy, tol = "sinc", 1.2e-7
 
     def run(bs):
         g = Graph("S")
@@ -159,7 +175,11 @@ def test_multirate_boundary_invariance(policy):
         return g.compile(48000.0, block_size=bs,
                          mode="block").render_mono(2048)
 
-    np.testing.assert_array_equal(run(512), run(128))
+    a, b = run(512), run(128)
+    if tol == 0.0:
+        np.testing.assert_array_equal(a, b)
+    else:
+        assert np.abs(a - b).max() <= tol
 
 
 @pytest.mark.parametrize("seed", range(4))

@@ -102,6 +102,30 @@ def test_latch_linear_updown():
     np.testing.assert_allclose(np.asarray(z), [1.5, 5.5], atol=1e-6)
 
 
+def test_sinc_down_layout_frozen_at_construction(monkeypatch):
+    """SincDownFir's state layout (phase-major vs interleaved) is chosen
+    once in __init__ — flipping OSCEN_SINC_PHASEMAJOR afterwards must not
+    desync init_state from process_block (ADVICE r04: the env read
+    per-call crashed when toggled mid-lifecycle), and both layouts
+    produce identical output for the same input stream."""
+    x = np.random.default_rng(3).standard_normal(512).astype(np.float32)
+
+    monkeypatch.delenv("OSCEN_SINC_PHASEMAJOR", raising=False)
+    inter = rs.SincDownFir(4)          # CPU default: interleaved
+    assert not inter.phase_major
+    monkeypatch.setenv("OSCEN_SINC_PHASEMAJOR", "1")
+    pm = rs.SincDownFir(4)             # frozen phase-major
+    assert pm.phase_major
+    # flipping the env after construction changes NEITHER instance
+    monkeypatch.setenv("OSCEN_SINC_PHASEMAJOR", "0")
+
+    si, sp = inter.init_state(), pm.init_state()
+    for _ in range(3):  # multi-block so carried histories are exercised
+        si, yi = inter.process_block(si, jnp.asarray(x))
+        sp, yp = pm.process_block(sp, jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(yi), np.asarray(yp))
+
+
 def test_sinc_dc_gain_unity():
     """Both FIR directions preserve DC at unity (coeffs.rs:15-17)."""
     x = np.ones(1024, np.float32)

@@ -334,3 +334,21 @@ def test_adsr_pallas_matches_tick():
     np.testing.assert_allclose(np.asarray(st7),
                                np.asarray(pack(states_off)), atol=1e-6)
     assert np.all(np.asarray(st7)[0] == 0.0)  # all voices back to IDLE
+
+
+def test_pick_unroll_cap_honored(monkeypatch):
+    """OSCEN_UNROLL_CAP clamps even at non-power-of-two values, and
+    malformed input raises a clear error (ADVICE r04)."""
+    from oscen_tpu.ops.pallas.util import pick_unroll
+
+    assert pick_unroll(1024) == 64
+    assert pick_unroll(96) == 32
+    monkeypatch.setenv("OSCEN_UNROLL_CAP", "48")
+    assert pick_unroll(256, 64) == 32          # clamped below the cap
+    monkeypatch.setenv("OSCEN_UNROLL_CAP", "16")
+    assert pick_unroll(1024) == 16
+    monkeypatch.setenv("OSCEN_UNROLL_CAP", "0")
+    assert pick_unroll(1024) == 1
+    monkeypatch.setenv("OSCEN_UNROLL_CAP", "banana")
+    with pytest.raises(ValueError, match="OSCEN_UNROLL_CAP"):
+        pick_unroll(1024)
