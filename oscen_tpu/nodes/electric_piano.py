@@ -475,11 +475,15 @@ class ElectricPianoVoice(Node):
         changed = jnp.logical_and(
             freq > 0.0, jnp.abs(bank["last_frequency"] - freq) >= 0.01)
         ch = changed[:, None]
-        if os.environ.get("OSCEN_EP_MULCOND", "1") == "1":
-            # The rotation multipliers only change when a voice retunes
-            # (note-on).  Steady blocks skip the [C, H] sin/cos sweep at
-            # runtime (16k transcendentals at 256 voices) — the cond
-            # predicate is one reduction over [C].
+        if os.environ.get("OSCEN_EP_MULCOND", "0") == "1":
+            # MEASURED SLOWER, ships default-OFF (tools/glueabl2.py,
+            # interleaved A/B at 256v B=1024 on a v5e: median +0.87
+            # us/block WITH the cond): skipping the [C, H] multiplier
+            # sin/cos sweep in steady blocks via a runtime
+            # any(changed) cond loses more to the cond boundary
+            # (unfused [C, H] operand copies, two compiled branches)
+            # than the 16k transcendentals cost — XLA fuses the sweep
+            # into the surrounding selects nearly for free.
             def _recompute(_):
                 n_mre, n_mim = jax.vmap(
                     lambda f: OscillatorBank._multipliers(f, sr.hz))(freq)
