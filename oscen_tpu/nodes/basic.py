@@ -242,7 +242,11 @@ class Tremolo(Node):
         ph = jnp.where(ks < K, p[0] + p[2] * ks, p[4] + p[2] * (ks - K))
         ph = ph - jnp.floor(ph)
         pan = 0.5 + jnp.sin(ph * TAU) * (p[3] / 3.0)
-        return jnp.concatenate([mix * pan, mix * (1.0 - pan)], axis=1)
+        # returned as per-channel (U, 1) columns: the kernel either
+        # stores each to its own (B, 1) ref (epi_split — lane-aligned,
+        # same free class as the mixdown store) or concatenates in-
+        # kernel for the single-ref A/B form
+        return mix * pan, mix * (1.0 - pan)
 
     def process_block(self, state, ins, events, sr, block_len,
                       const_ins=frozenset()):
@@ -263,21 +267,61 @@ class Tremolo(Node):
                     jnp.where(reb, k_end - self.K_REBASE, k_end),
                     dt0)
 
-        # Default OFF: measured SLOWER than the cond form on the flagship
-        # steady path (26.6 vs 24.0 us/block interleaved A/B) — XLA
-        # inserts two [B,1] copies in a degenerate T(1,128) layout when
-        # the phase math inlines into the main loop body, costing more
-        # than the conditional it removed.  Kept for re-evaluation.
+        # Layout/structure variants, interleaved-A/B-able on chip via
+        # OSCEN_TREMOLO_FORM (read at trace time; all forms are
+        # bit-identical — transposes move data, the pan math and its op
+        # order never change):
+        #   cond_bc  — lax.cond(same-rate) with the [B, 2] pan stack
+        #              computed inside each branch (round-3 default)
+        #   cond_cm  — cond returns the pan CHANNEL-MAJOR [2, B] (lane-
+        #              wide rows; the [B, 2] trailing-channel layout pads
+        #              2 lanes to 128, making every op and the cond
+        #              boundary buffer 64x wider than the data) and
+        #              transposes once after the cond
+        #   phase    — cond returns only the [B] phase; pan outside
+        #   phase_cm — phase cond + channel-major pan + one transpose
+        #   const    — no cond at all (rate is trace-time block-constant)
+        #   const_cm — const + channel-major + one transpose
+        # The transpose is logical: consumers that reduce (the steady
+        # checksum's full sum) fold it away; the render path materializes
+        # [B, 2] once at the host boundary where the copy is amortized.
         import os as _os
-        if "rate" in const_ins and \
-                _os.environ.get("OSCEN_TREMOLO_CONST", "0") != "0":
+        form = _os.environ.get("OSCEN_TREMOLO_FORM", "")
+        if not form:
+            form = ("const" if _os.environ.get("OSCEN_TREMOLO_CONST",
+                                               "0") != "0" else "cond_bc")
+        cm = form.endswith("_cm")
+        base = form[:-3] if cm else form
+        if base == "const" and "rate" not in const_ins:
+            base = "cond"  # rate varies at trace time: need the cond
+        if base == "cond_bc":
+            base = "cond"
+
+        def pan_pair(x, phase, depth):
+            lfo = jnp.sin(phase * TAU)
+            pan = 0.5 + lfo * (depth / 3.0)
+            return x * pan, x * (1.0 - pan)
+
+        def pan_out(x, phase, depth):
+            a, b = pan_pair(x, phase, depth)
+            return jnp.stack([a, b], axis=0 if cm else -1)
+
+        def finish(out, anchor, k, dt_last):
+            if cm:
+                out = out.T
+            return ({"anchor": anchor, "k": k, "dt_last": dt_last},
+                    {"output": out})
+
+        if base == "const":
             # rate is block-constant at TRACE time: the only possible
             # change is at the block boundary — apply tick's rate-change
             # anchor rebase once, then the anchored closed form.  No
-            # lax.cond, no scan fallback in the compiled program (the
-            # cond alone costs ~1 µs/block of launch+boundary overhead
-            # on the flagship steady path).  Bit-identical to tick: tick
-            # itself evaluates phase = wrap(anchor + dt·k).
+            # lax.cond, no scan fallback in the compiled program.
+            # Bit-identical to tick: tick itself evaluates
+            # phase = wrap(anchor + dt·k).  (The bc form measured SLOWER
+            # than cond_bc in round 3 — 26.6 vs 24.0 us/block A/B — from
+            # degenerate-layout [B,1] copies when the phase math inlines
+            # into the main loop body.)
             dt0 = dt[0]
             anchor, k0 = state["anchor"], state["k"]
             changed = jnp.logical_and(dt0 != state["dt_last"], k0 > 0)
@@ -287,24 +331,12 @@ class Tremolo(Node):
                            * k0.astype(jnp.float32)), anchor)
             k0 = jnp.where(changed, 0, k0)
             phase, anchor, k, dt_last = fast_from(anchor, k0, dt0)
-            out = self._pan(ins["input"], phase, ins["depth"])
-            return ({"anchor": anchor, "k": k, "dt_last": dt_last},
-                    {"output": out})
+            return finish(pan_out(ins["input"], phase, ins["depth"]),
+                          anchor, k, dt_last)
 
         same = jnp.all(dt == state["dt_last"])
 
-        # the pan is computed INSIDE each branch: the [B, 2] output is
-        # what crosses the cond boundary either way (it is the node's
-        # output), while the [B] phase array stays fused into its branch
-        # (the TPT coefficient cond taught us cond-boundary arrays cost
-        # real per-block time; same ops, same order — bit-exact)
-        def fast(_):
-            phase, anchor, k, dt_last = fast_from(
-                state["anchor"], state["k"], dt[0])
-            return (self._pan(ins["input"], phase, ins["depth"]),
-                    anchor, k, dt_last)
-
-        def slow(_):
+        def slow_phase():
             def step(carry, dt_t):
                 anchor, k, dt_last = carry
                 changed = jnp.logical_and(dt_t != dt_last, k > 0)
@@ -322,13 +354,37 @@ class Tremolo(Node):
                 return (anchor, k, dt_t), phase
             (anchor, k, dt_last), phase = jax.lax.scan(
                 step, (state["anchor"], state["k"], state["dt_last"]), dt)
-            return (self._pan(ins["input"], phase, ins["depth"]),
+            return phase, anchor, k, dt_last
+
+        if base == "phase":
+            # only the [B] phase crosses the cond; the pan (and its
+            # wider output array) fuses into the main block body
+            phase, anchor, k, dt_last = jax.lax.cond(
+                same,
+                lambda _: fast_from(state["anchor"], state["k"], dt[0]),
+                lambda _: slow_phase(), operand=None)
+            return finish(pan_out(ins["input"], phase, ins["depth"]),
+                          anchor, k, dt_last)
+
+        # base == "cond": the pan is computed INSIDE each branch — the
+        # output array is what crosses the cond boundary, while the [B]
+        # phase array stays fused into its branch (the TPT coefficient
+        # cond taught us cond-boundary arrays cost real per-block time;
+        # same ops, same order — bit-exact)
+        def fast(_):
+            phase, anchor, k, dt_last = fast_from(
+                state["anchor"], state["k"], dt[0])
+            return (pan_out(ins["input"], phase, ins["depth"]),
+                    anchor, k, dt_last)
+
+        def slow(_):
+            phase, anchor, k, dt_last = slow_phase()
+            return (pan_out(ins["input"], phase, ins["depth"]),
                     anchor, k, dt_last)
 
         out, anchor, k, dt_last = jax.lax.cond(same, fast, slow,
                                                operand=None)
-        return ({"anchor": anchor, "k": k, "dt_last": dt_last},
-                {"output": out})
+        return finish(out, anchor, k, dt_last)
 
 
 class FmOperator(Node):

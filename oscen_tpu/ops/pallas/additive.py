@@ -257,16 +257,40 @@ def _kernel_v3(U, SUB, with_mix, or_ref, oi_ref, mr_ref,
     step_o[:] = s
 
 
-def _kernel_v4(U, SUB, with_mix, epi_fn, *refs):
+def _kernel_v4(U, SUB, with_mix, epi_fn, epi_split, *refs):
     # epi_fn: optional stream epilogue fused onto the voice mixdown —
-    # a static fn(mix_rows [U,1], t0, p_ref) -> [U, C] applied per body
-    # (the consumer node's per-sample math, e.g. Tremolo's stereo pan;
-    # see graph/block_mode.py epilogue fusion).  p_ref is an SMEM row of
-    # its block-constant parameters, threaded as the 9th operand.
+    # a static fn(mix_rows [U,1], t0, p_ref) -> tuple of [U,1] channel
+    # columns applied per body (the consumer node's per-sample math,
+    # e.g. Tremolo's stereo pan; see graph/block_mode.py epilogue
+    # fusion).  p_ref is an SMEM row of its block-constant parameters,
+    # threaded as the 9th operand.  ``epi_split`` > 0 stores each
+    # channel column to its OWN (B, 1) output ref — the round-3 fused
+    # epilogue stored one (B, C) ref, and the [U, C] narrow-lane store
+    # (C=2 lanes padded to 128) measured +3.6 us/block, sinking the
+    # whole fusion; per-channel [U, 1] stores are the same class as the
+    # with_mix mixdown store, which measures free (tools/glueabl3.py).
+    # epi_split == 0 keeps the single-ref store (in-kernel concat) for
+    # A/B.
+    #
+    # MEASURED (round 5, tools/epiabl.py, flagship B=1024, 14 windows
+    # interleaved): split stores fix the store penalty relative to the
+    # single-ref form (median 26.6 vs 27.2+) but the fusion itself still
+    # loses to the unfused XLA tremolo in EVERY window (off med 23.0 /
+    # best 21.1 vs split med 26.6 / best 23.3): the per-body [U,1]
+    # sub-lane pan (transcendental sin at 1-lane width, 8 bodies) plus
+    # the extra output ref cost more than the ~2.5 us of XLA fusion-
+    # launch overhead they remove.  Epilogue fusion therefore stays
+    # default-OFF (OSCEN_EPILOGUE_FUSION=1 to re-evaluate); the tremolo
+    # boundary cost at B=1024 is a per-launch floor, not a layout or
+    # store-shape problem (tools/tremabl.py rejected channel-major and
+    # phase-only-cond layouts the same way).
     if epi_fn is not None:
+        n_y = epi_split if epi_split else 1
         (or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
-         step_ref, epi_ref, y_ref, or_o, oi_o, cur_o, tgt_o,
-         step_o) = refs
+         step_ref, epi_ref) = refs[:9]
+        y_refs = refs[9:9 + n_y]
+        y_ref = y_refs[0]
+        (or_o, oi_o, cur_o, tgt_o, step_o) = refs[9 + n_y:]
     else:
         (or_ref, oi_ref, mr_ref, mi_ref, cur_ref, tgt_ref, mult_ref,
          step_ref, y_ref, or_o, oi_o, cur_o, tgt_o, step_o) = refs
@@ -344,7 +368,13 @@ def _kernel_v4(U, SUB, with_mix, epi_fn, *refs):
         if with_mix:
             mix = jnp.sum(Y, axis=1, keepdims=True)
             if epi_fn is not None:
-                y_ref[pl.ds(i * U, U), :] = epi_fn(mix, i * U, epi_ref)
+                cols = epi_fn(mix, i * U, epi_ref)
+                if epi_split:
+                    for c, col in enumerate(cols):
+                        y_refs[c][pl.ds(i * U, U), :] = col
+                else:
+                    y_ref[pl.ds(i * U, U), :] = jnp.concatenate(
+                        cols, axis=1)
             else:
                 y_ref[pl.ds(i * U, U), :] = mix
         else:
@@ -440,21 +470,25 @@ def additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
     a jit cache key, then dispatches to the jitted impl)."""
     if version is None:
         version = _kernel_version()
+    epi_split = (epi_c if epi_fn is not None and os.environ.get(
+        "OSCEN_EPI_SPLIT", "1") == "1" else 0)
     return _additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt,
                                  mult, step, block_len=block_len,
                                  interpret=interpret, with_mix=with_mix,
                                  epi_fn=epi_fn, epi_c=epi_c,
-                                 epi_params=epi_params, version=version)
+                                 epi_params=epi_params, version=version,
+                                 epi_split=epi_split)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("block_len", "interpret", "with_mix",
-                                    "epi_fn", "epi_c", "version"))
+                                    "epi_fn", "epi_c", "version",
+                                    "epi_split"))
 def _additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
                           step, block_len: int, interpret: bool = False,
                           with_mix: bool = False, epi_fn=None,
                           epi_c: int = 0, epi_params=None,
-                          version: str = "v4"):
+                          version: str = "v4", epi_split: int = 0):
     """One steady-state block of the fused additive voice.
 
     Args (all ``[H, V]`` except ``step`` ``[V]``): oscillator complex
@@ -514,7 +548,16 @@ def _additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
                          "voice tile (see epilogue_supported)")
 
     plane = jax.ShapeDtypeStruct((Hp, Vp), jnp.float32)
-    if with_mix and epi_fn is not None:
+    if with_mix and epi_fn is not None and epi_split:
+        # one (B, 1) output ref per epilogue channel: [U, 1] stores
+        # (free, same class as the mixdown store) instead of the
+        # +3.6 us/block narrow [U, C] store of the single-ref form
+        y_shape = tuple(jax.ShapeDtypeStruct((block_len, 1), jnp.float32)
+                        for _ in range(epi_split))
+        y_spec = tuple(pl.BlockSpec((block_len, 1), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for _ in range(epi_split))
+    elif with_mix and epi_fn is not None:
         y_shape = jax.ShapeDtypeStruct((block_len, epi_c), jnp.float32)
         y_spec = pl.BlockSpec((block_len, epi_c), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -531,29 +574,40 @@ def _additive_voice_block(osc_re, osc_im, mul_re, mul_im, cur, tgt, mult,
         elif version == "v3" and epi_fn is None:
             kern = functools.partial(_kernel_v3, U, SUB, with_mix)
         else:
-            kern = functools.partial(_kernel_v4, U, SUB, with_mix, epi_fn)
+            kern = functools.partial(_kernel_v4, U, SUB, with_mix, epi_fn,
+                                     epi_split)
         extra_in = []
         extra_specs = []
         if epi_fn is not None:
             extra_in = [jnp.asarray(epi_params, jnp.float32)]
             extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
+        # epi_split > 0 widens the y output into epi_split (B, 1) refs;
+        # the state-plane outputs (and the input->output aliases that
+        # keep XLA from copying the [H,V] carries per block) shift right
+        n_y = epi_split if (epi_fn is not None and epi_split) else 1
+        y_shapes = y_shape if isinstance(y_shape, tuple) else (y_shape,)
+        y_specs = y_spec if isinstance(y_spec, tuple) else (y_spec,)
+        d = n_y - 1
+        outs = pl.pallas_call(
             kern,
             grid=(n_tiles,),
-            out_shape=(
-                y_shape,
+            out_shape=y_shapes + (
                 plane, plane, plane, plane,
                 jax.ShapeDtypeStruct((1, Vp), jnp.float32),
             ),
             in_specs=[vspec(Hp)] * 7 + [vspec(1)] + extra_specs,
-            out_specs=(y_spec,) + (vspec(Hp),) * 4 + (vspec(1),),
+            out_specs=y_specs + (vspec(Hp),) * 4 + (vspec(1),),
             # alias the state planes input->output: without this XLA
             # copies [H,V] planes per block to thread the scan carry
             # (2 copies visible in the steady loop body)
-            input_output_aliases={0: 1, 1: 2, 4: 3, 5: 4, 7: 5},
+            input_output_aliases={0: 1 + d, 1: 2 + d, 4: 3 + d,
+                                  5: 4 + d, 7: 5 + d},
             interpret=interpret,
         )(pad(osc_re), pad(osc_im), pad(mul_re), pad(mul_im),
           pad(cur), pad(tgt), pad(mult), step_row, *extra_in)
+        ys = outs[:n_y]
+        or_o, oi_o, cur_o, tgt_o, step_o = outs[n_y:]
+        y = ys[0] if n_y == 1 else jnp.concatenate(ys, axis=1)
     else:
         y, or_o, oi_o, cur_o, tgt_o, step_o = pl.pallas_call(
             functools.partial(_kernel, U, SUB, with_mix),
