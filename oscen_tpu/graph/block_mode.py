@@ -30,7 +30,34 @@ from . import explain
 from .ir import (BinOp, Call, Const, EdgeKernel, EndpointRef, Fanout,
                  FrameCtor, IrEdge)
 
-__all__ = ["make_block_fn"]
+__all__ = ["make_block_fn", "reconstruct_step_values"]
+
+
+def reconstruct_step_values(per_block: Dict[str, Any],
+                            B: int) -> Dict[str, Any]:
+    """Expand ``__hstep__<node>.<ep>`` step-staging tensors into the
+    ``__host__<node>.<ep>`` per-sample arrays the block/sample bodies
+    consume.  A ``(3[, C])`` base/target/offset tensor becomes
+    ``[B(, C)]`` via one vectorized select — the heavy array exists only
+    on device (see graph/node.py StepValue for the why and the measured
+    host-transfer cost it removes)."""
+    if not any(k.startswith("__hstep__") for k in per_block):
+        return per_block
+    t = jnp.arange(B, dtype=jnp.float32)
+    out = {}
+    for k, v in per_block.items():
+        if not k.startswith("__hstep__"):
+            out[k] = v
+            continue
+        v = jnp.asarray(v)
+        base, tgt, off = v[0], v[1], v[2]
+        if v.ndim == 2:   # (3, C) -> [B, C]
+            vals = jnp.where(t[:, None] >= off[None, :],
+                             tgt[None, :], base[None, :])
+        else:             # (3,)  -> [B]
+            vals = jnp.where(t >= off, tgt, base)
+        out["__host__" + k[len("__hstep__"):]] = vals
+    return out
 
 
 def _sccs(nodes: List[str], deps: Dict[str, set]) -> List[List[str]]:
@@ -288,6 +315,9 @@ def make_block_fn(prog, block_len: int, shard=None):
 
     # ------------------------------------------------------------------ #
     def block_fn(state, per_block, ev_bufs):
+        # step-staged host values ((3[, C]) base/target/offset) expand to
+        # their per-sample arrays on device before anything reads them
+        per_block = reconstruct_step_values(per_block, B)
         # idle params stage as [1] arrays (ValueRampState.materialize_
         # block): broadcast to the full time axis here so every consumer
         # sees the usual [B] shape while XLA still proves the values

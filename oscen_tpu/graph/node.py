@@ -142,6 +142,42 @@ class Node:
         return f"{type(self).__name__}()"
 
 
+class StepValue:
+    """A host-node value output that is a single step function over the
+    block: ``base`` before ``offset``, ``target`` from ``offset`` on.
+
+    Staging protocol (compile.py ``_host_prepass``): when every instance
+    of a host-node endpoint returns a StepValue or a block-constant [1]
+    array, the endpoint stages as a tiny ``(3[, C])`` base/target/offset
+    tensor reconstructed to ``[B(, C)]`` ON DEVICE at block-fn entry
+    (block_mode ``reconstruct_step_values``) — instead of a host-built
+    ``[B, C]`` array.  At 256 voices and B=1024 the host-built array is
+    ~1 MB per block over the host↔device link; a MIDI-every-block
+    workload measured 0.4-0.8x RT before this protocol (tools/evabl.py)
+    with the transfer dominating.  The reference pays no such cost
+    because control and audio share memory (main.rs:197-209); this is
+    the host↔device redesign of the same per-callback event handling.
+    """
+
+    __slots__ = ("base", "offset", "target")
+
+    def __init__(self, base: float, offset: int, target: float):
+        self.base = float(base)
+        self.offset = int(offset)
+        self.target = float(target)
+
+    def materialize(self, block_len: int) -> np.ndarray:
+        """The equivalent host-built [B] step array (fallback path and
+        parity tests)."""
+        arr = np.full((block_len,), np.float32(self.base), np.float32)
+        arr[min(self.offset, block_len - 1):] = np.float32(self.target)
+        return arr
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (f"StepValue({self.base!r}, {self.offset!r}, "
+                f"{self.target!r})")
+
+
 class HostNode(Node):
     """Control-rate node evaluated on the host once per block.
 

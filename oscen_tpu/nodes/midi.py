@@ -17,7 +17,7 @@ import numpy as np
 from ..core.events import (EventInstance, NoteOffEvent, NoteOnEvent,
                            RawMidiMessage)
 from ..core.types import event, value
-from ..graph.node import HostNode
+from ..graph.node import HostNode, StepValue
 
 
 def midi_note_to_freq(note: int) -> float:
@@ -91,29 +91,44 @@ class MidiVoiceHandler(HostNode):
             merged.append((ev.frame_offset, 1, i, "off", ev))
         merged.sort(key=lambda x: (x[0], x[1], x[2]))
 
-        freq = None  # built lazily: blocks with no note-on stage as [1]
+        # frequency output forms, cheapest first:
+        #   no note-on            -> [1] block-constant array (const_eps
+        #                            lets consumers hoist per-sample work)
+        #   exactly one note-on   -> StepValue (staged as 3 scalars,
+        #                            reconstructed to [B] on device — no
+        #                            host-built/transferred [B] array;
+        #                            see graph/node.py StepValue)
+        #   several note-ons      -> host-built [B] array (rare)
+        freq = None
+        steps = []  # (offset, new_frequency)
+        base_freq = self.current_frequency
         for off, _, _, kind, ev in merged:
             if kind == "on" and isinstance(ev.payload, NoteOnEvent):
                 self.current_note = ev.payload.note
-                if freq is None:
-                    freq = np.full((block_len,),
-                                   np.float32(self.current_frequency),
-                                   np.float32)
                 self.current_frequency = midi_note_to_freq(ev.payload.note)
-                freq[min(off, block_len - 1):] = np.float32(
-                    self.current_frequency)
+                if len(steps) >= 1 and freq is None:
+                    # second step: materialize the fallback array
+                    freq = StepValue(base_freq, steps[0][0],
+                                     steps[0][1]).materialize(block_len)
+                if freq is not None:
+                    freq[min(off, block_len - 1):] = np.float32(
+                        self.current_frequency)
+                steps.append((off, self.current_frequency))
                 gate.append(EventInstance(off, ev.payload.velocity))
             elif kind == "off" and isinstance(ev.payload, NoteOffEvent):
                 if self.current_note == ev.payload.note:
                     gate.append(EventInstance(off, 0.0))
                     self.current_note = None
         if freq is None:
-            # block-constant: stage as a LENGTH-1 array — the block/sample
-            # functions broadcast it at entry while the trace-time shape
-            # lets consumers (const_eps) hoist per-sample work (e.g. the
-            # chain kernels' per-sample dt reads)
-            freq = np.full((1,), np.float32(self.current_frequency),
-                           np.float32)
+            if not steps:
+                # block-constant: stage as a LENGTH-1 array — the
+                # block/sample functions broadcast it at entry while the
+                # trace-time shape lets consumers (const_eps) hoist
+                # per-sample work (e.g. the chain kernels' dt reads)
+                freq = np.full((1,), np.float32(self.current_frequency),
+                               np.float32)
+            else:
+                freq = StepValue(base_freq, steps[0][0], steps[0][1])
         return {"gate": gate}, {"frequency": freq}
 
 

@@ -98,6 +98,11 @@ def load_state(compiled, path: str) -> None:
                 "instances — voice counts must match")
         for inst, snap in zip(insts, snapshots):
             inst.restore_host_state(snap)
+    # restored host state invalidates the per-instance steady memo and
+    # any cached staging built from the pre-restore state
+    compiled._host_steady.clear()
+    compiled._staging_cache.clear()
+    compiled._control_dirty = True
     if "pending_events" in blob:
         from ..core.events import EventInstance
         for q in compiled._event_queues.values():

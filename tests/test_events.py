@@ -220,3 +220,73 @@ def test_event_fanin_last_write_wins():
     c.queue_event("g1", 0, 1.0)
     out = c.render_mono(64)
     assert np.all(out == 0.0), out[:4]
+
+
+def test_step_value_staging_parity(monkeypatch):
+    """StepValue staging (note-on frequency staged as base/target/offset
+    and reconstructed on device — graph/node.py StepValue) is
+    bit-identical to the host-materialized [B, C] arrays, across:
+    mid-block note-ons, several blocks with and without events (the
+    per-instance host memo), two note-ons to ONE voice in one block
+    (the multi-step [B] fallback), and note-offs."""
+    def build():
+        N = 4
+        g = Graph("PolyStep")
+        g.input("midi_in", "event")
+        g.output("out", "stream")
+        parser = g.add("parser", MidiParser())
+        alloc = g.add("alloc", VoiceAllocator(N))
+        handlers = g.add("handlers", MidiVoiceHandler(), count=N)
+        envs = g.add("envs", AdsrEnvelope(0.001, 0.01, 1.0, 0.02), count=N)
+        oscs = g.add("oscs", Oscillator.sine(440.0, 0.25), count=N)
+        mix = g.add("mix", Gain(1.0))
+        g.connect("midi_in", parser.midi_in)
+        g.connect(parser.note_on, alloc.note_on)
+        g.connect(parser.note_off, alloc.note_off)
+        g.connect(alloc.voices, handlers.note_on)
+        g.connect(alloc.voices, handlers.note_off)
+        g.connect(handlers.gate, envs.gate)
+        g.connect(handlers.frequency, oscs.frequency)
+        g.connect(oscs.output * envs.output, mix.input)
+        g.connect(mix.output, "out")
+        return g
+
+    def run(step_staging):
+        monkeypatch.setenv("OSCEN_STEP_STAGING",
+                           "1" if step_staging else "0")
+        c = build().compile(48000.0, block_size=128)
+        chunks = []
+        # block 0: two mid-block note-ons (different voices)
+        c.queue_event("midi_in", 17, raw_midi_event([0x90, 60, 100]))
+        c.queue_event("midi_in", 90, raw_midi_event([0x90, 64, 90]))
+        chunks.append(c.render_mono(128))
+        # block 1: no events (memo + steady staging)
+        chunks.append(c.render_mono(128))
+        # block 2: retrigger voice 0 TWICE in one block (steals voice 0
+        # both times after 4 voices? no — 2 free voices remain; instead
+        # note-off + immediate note-on re-strikes the same voice) ->
+        # exercises the multi-step fallback when both land on one voice
+        c.queue_event("midi_in", 10, raw_midi_event([0x90, 72, 80]))
+        c.queue_event("midi_in", 11, raw_midi_event([0x90, 76, 80]))
+        chunks.append(c.render_mono(128))
+        # block 3: all four voices held; a fifth note STEALS the oldest
+        # (voice 0) mid-block, then a sixth steals voice 1 — two steps
+        # land on two voices; then note-off one of them
+        c.queue_event("midi_in", 20, raw_midi_event([0x90, 48, 70]))
+        c.queue_event("midi_in", 20, raw_midi_event([0x90, 50, 70]))
+        c.queue_event("midi_in", 100, raw_midi_event([0x80, 50, 0]))
+        chunks.append(c.render_mono(128))
+        # block 4: steal ONE voice twice in one block (5th+6th note-on
+        # with all voices held and none released -> LRU steals two
+        # different voices; to hit one voice twice, off+on+on same note
+        # path) — simplest guaranteed double-step: note-on twice routed
+        # to the same voice via allocator retrigger of an existing note
+        c.queue_event("midi_in", 5, raw_midi_event([0x90, 48, 70]))
+        c.queue_event("midi_in", 99, raw_midi_event([0x90, 48, 75]))
+        chunks.append(c.render_mono(128))
+        chunks.append(c.render_mono(128))
+        return np.concatenate(chunks)
+
+    a = run(True)
+    b = run(False)
+    np.testing.assert_array_equal(a, b)

@@ -225,15 +225,27 @@ def test_pivot_fused_full_graph_sounds():
 def test_handler_frequency_stages_block_constant():
     """Blocks with no note-on stage the handler frequency as a [1, C]
     array (trace-time block-constant): the chain kernels hoist their
-    per-sample dt reads; a note-on block stages the full [B, C] step
-    function (the detune-regression case keeps per-sample dt)."""
+    per-sample dt reads.  A note-on block stages a (3, C)
+    base/target/offset step tensor (graph/node.py StepValue) whose
+    device-side reconstruction is the full [B, C] step function (the
+    detune-regression case keeps per-sample dt)."""
+    import numpy as np
+    from oscen_tpu.graph.block_mode import reconstruct_step_values
     from oscen_tpu.models.pivot import build_pivot
     from oscen_tpu import raw_midi_event
 
     g = build_pivot(4)
     s = g.compile(48000.0, block_size=128, mode="block")
-    s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
+    s.queue_event("midi_in", 7, raw_midi_event([0x90, 60, 100]))
     ev_bufs, host_vals = s._host_prepass(128)   # consumes the note-on
-    assert host_vals["__host__handlers.frequency"].shape == (128, 4)
+    step = host_vals["__hstep__handlers.frequency"]
+    assert step.shape == (3, 4)
+    rec = reconstruct_step_values(
+        {"__hstep__handlers.frequency": step}, 128)
+    freq = np.asarray(rec["__host__handlers.frequency"])
+    assert freq.shape == (128, 4)
+    v = int(np.argmax(step[1] != step[0]))      # the struck voice
+    assert np.all(freq[:7, v] == step[0, v])    # base before offset 7
+    assert np.all(freq[7:, v] == step[1, v])    # target from offset on
     ev_bufs, host_vals = s._host_prepass(128)   # steady block
     assert host_vals["__host__handlers.frequency"].shape == (1, 4)

@@ -23,13 +23,19 @@ def _total_cache_size(compiled):
 def test_steady_state_never_recompiles():
     s = build_poly_synth(4).compile(48000.0, block_size=128)
     s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
-    s.process_block()          # event-block variant compiles
+    s.process_block()          # event-block (packed) variant compiles
     s.process_block()          # steady variant compiles
     base = _total_cache_size(s)
     for i in range(10):
-        s.set_value("cutoff", 1000.0 + 100.0 * i)  # live param changes
+        # live param changes share the steady variant's staging shapes
+        # (param-only blocks take the per-array path, not the packed
+        # event path) — no retrace
+        s.set_value("cutoff", 1000.0 + 100.0 * i)
         s.process_block()
     assert _total_cache_size(s) == base, "steady-state retrace!"
+    # and the steady variant is still warm
+    s.process_block()
+    assert _total_cache_size(s) == base, "steady variant lost!"
 
 
 def test_event_blocks_reuse_capacity_classes():
