@@ -670,7 +670,8 @@ def make_block_fn(prog, block_len: int, shard=None):
                     ins_p = gather_block(
                         d, only_eps=("delay_samples", "feedback"))
                     delayed, fbc = node_d.block_read(
-                        new_state[d], ins_p, B)
+                        new_state[d], ins_p, B,
+                        literal_ins=literal_eps(d))
                     env[(d, "output")] = delayed
                     stash[d] = (delayed, fbc)
                 for n in rest_order:

@@ -105,15 +105,35 @@ class Delay(Node):
     # compiler splits the node into a whole-block read (before the rest
     # of the feedback island) and a whole-block write (after it).
     # ------------------------------------------------------------------ #
-    def block_read(self, state, ins, block_len):
+    def block_read(self, state, ins, block_len, literal_ins=None):
         """Whole-block delayed output from the carried ring buffer; valid
-        only under the ``min_delay >= block+4`` promise."""
+        only under the ``min_delay >= block+4`` promise.
+
+        When ``delay_samples`` is a TRACE-TIME LITERAL (unconnected
+        default / Const edge — the simple-echo shape), in range, and
+        integral after the min-delay clamp, every sample reads the same
+        integer offset: the batched Catmull-Rom ``rb_get`` (≈10 ops —
+        snap compare + 5 gathers + cubic) collapses to ONE contiguous
+        ``dynamic_slice`` of the ring (wrap handled by a doubled tail),
+        bit-identical to the snap branch it replaces."""
         import jax
         delay, fb = self._block_params(state, ins, block_len)
+        buf = state["buf"]
+        cap = buf.shape[-1]
+        import os
+        d0 = (literal_ins or {}).get("delay_samples")
+        if d0 is not None and 0.0 <= d0 <= cap - 1 and buf.ndim == 1 \
+                and os.environ.get("OSCEN_DELAY_LITERAL_READ", "1") != "0":
+            D = max(float(d0), float(self.min_delay))
+            if D == round(D):
+                s0 = (state["write_pos"] - jnp.int32(int(D)) - 1) & (cap - 1)
+                z = jnp.concatenate([buf, buf[:block_len]])
+                delayed = jax.lax.dynamic_slice(z, (s0,), (block_len,))
+                return delayed, fb
         offs = jnp.arange(block_len, dtype=jnp.int32)
         wps = state["write_pos"] + offs
         delayed = jax.vmap(
-            lambda w, dd: rb_get(state["buf"], w, dd))(wps, delay)
+            lambda w, dd: rb_get(buf, w, dd))(wps, delay)
         return delayed, fb
 
     def block_write(self, state, x, delayed, fb, block_len):

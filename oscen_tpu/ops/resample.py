@@ -237,21 +237,92 @@ class _Halfband2xDown:
 
 class SincUpFir:
     """Cascaded halfband 2x up stages for N ∈ {1,2,4,8}
-    (reference sinc_fir.rs:146-206)."""
+    (reference sinc_fir.rs:146-206), evaluated phase-major on TPU.
+
+    Mirror of :class:`SincDownFir`'s round-4 treatment (commit 8a65417):
+    the interleaved form pays a ``stack+reshape`` relayout per stage on
+    TPU while the 12 tap-FMAs are nearly free, so each stage instead
+    maps M phase rows to 2M phase rows of pure static-shift FMAs — an
+    M→2M stage writes output phase ``2p`` as the even-branch FIR
+    ``Σ_j taps[j]·u[(p-j) mod M][·+(p-j)//M]`` (accumulation order
+    j=0..11, identical to ``_causal_fir``) and phase ``2p+1`` as the
+    delayed-center odd branch ``gain·u[(p-5) mod M][·+(p-5)//M]`` — and
+    the single interleave happens once at the cascade output.
+    Bit-identical to the interleaved form (same values, same per-sample
+    accumulation order; the interleave is data movement).
+
+    The layout choice is FROZEN at construction time
+    (``OSCEN_SINC_PHASEMAJOR`` read once in ``__init__``, like
+    SincDownFir): checkpoints containing sinc-up state are
+    layout-specific."""
+
+    HIST = 12  # per-phase history rows kept per stage (≥ max back-shift)
 
     def __init__(self, n: int):
         self.n = n
-        self.stages = [_Halfband2xUp() for _ in range(_stages(n))]
+        self.k = _stages(n)
+        self.stages = [_Halfband2xUp() for _ in range(self.k)]
+        env = os.environ.get("OSCEN_SINC_PHASEMAJOR")
+        if env is not None:
+            self.phase_major = env == "1"
+        else:
+            self.phase_major = jax.default_backend() != "cpu"
 
     def init_state(self, like=None):
-        return tuple(s.init_state(like) for s in self.stages)
+        if not self.phase_major:
+            return tuple(s.init_state(like) for s in self.stages)
+        shape = jnp.shape(like)[1:] if like is not None else ()
+        state = []
+        m = 1
+        for _ in range(self.k):
+            state.append(tuple(jnp.zeros((self.HIST,) + shape, jnp.float32)
+                               for _ in range(m)))
+            m *= 2
+        return tuple(state)
+
+    def _stage(self, hists, phases):
+        """One M→2M-phase halfband-up stage (phase-major)."""
+        L = self.HIST
+        b = phases[0].shape[0]
+        m = len(phases)
+        z = [jnp.concatenate([h, p], axis=0)
+             for h, p in zip(hists, phases)]
+        taps = _Halfband2xUp.EVEN_TAPS
+        gain = _Halfband2xUp.ODD_GAIN
+
+        def at(r, shift_units):
+            t = r + shift_units
+            ph, q = t % m, t // m  # floor div/mod handle negatives
+            return jax.lax.slice_in_dim(z[ph], L + q, L + q + b, axis=0)
+
+        out = []
+        for p in range(m):
+            y = jnp.zeros_like(phases[0])
+            for j in range(12):
+                y = y + taps[j] * at(p, -j)
+            out.append(y)                               # phase 2p (even)
+            out.append(gain * at(p, -_Halfband2xUp.ODD_DELAY))  # 2p+1
+        new_hists = tuple(s[-L:] for s in z)
+        return new_hists, out
 
     def process_block(self, state, x):
-        new = []
-        for st, stage in zip(state, self.stages):
-            st, x = stage.process_block(st, x)
-            new.append(st)
-        return tuple(new), x
+        if self.k == 0:
+            return state, x
+        if not self.phase_major:
+            new = []
+            for st, stage in zip(state, self.stages):
+                st, x = stage.process_block(st, x)
+                new.append(st)
+            return tuple(new), x
+        phases = [x]
+        new_state = []
+        for s in range(self.k):
+            hists, phases = self._stage(state[s], phases)
+            new_state.append(hists)
+        n, b = self.n, x.shape[0]
+        # one interleave: n phase rows -> [n*b, ...]
+        y = jnp.reshape(jnp.stack(phases, axis=1), (n * b,) + x.shape[1:])
+        return tuple(new_state), y
 
     def latency_samples(self) -> int:
         k = len(self.stages)

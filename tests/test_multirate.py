@@ -126,6 +126,26 @@ def test_sinc_down_layout_frozen_at_construction(monkeypatch):
         np.testing.assert_array_equal(np.asarray(yi), np.asarray(yp))
 
 
+def test_sinc_up_layout_frozen_at_construction(monkeypatch):
+    """SincUpFir phase-major (TPU layout): frozen at construction like
+    SincDownFir, and bit-identical to the interleaved form across
+    carried multi-block histories and every cascade depth."""
+    x = np.random.default_rng(7).standard_normal(512).astype(np.float32)
+    for n in (2, 4, 8):
+        monkeypatch.delenv("OSCEN_SINC_PHASEMAJOR", raising=False)
+        inter = rs.SincUpFir(n)        # CPU default: interleaved
+        assert not inter.phase_major
+        monkeypatch.setenv("OSCEN_SINC_PHASEMAJOR", "1")
+        pm = rs.SincUpFir(n)           # frozen phase-major
+        assert pm.phase_major
+        monkeypatch.setenv("OSCEN_SINC_PHASEMAJOR", "0")  # must not matter
+        si, sp = inter.init_state(), pm.init_state()
+        for _ in range(3):
+            si, yi = inter.process_block(si, jnp.asarray(x))
+            sp, yp = pm.process_block(sp, jnp.asarray(x))
+            np.testing.assert_array_equal(np.asarray(yi), np.asarray(yp))
+
+
 def test_sinc_dc_gain_unity():
     """Both FIR directions preserve DC at unity (coeffs.rs:15-17)."""
     x = np.ones(1024, np.float32)
