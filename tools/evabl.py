@@ -56,7 +56,8 @@ def main():
                 note[0] += 1
             return s.process_block()
 
-        one(0)  # warm any event-cap block-fn variants
+        for _ in range(8):  # warm event-cap/packed block-fn variants
+            one(0)
         t0 = time.perf_counter()
         for i in range(n):
             last = one(i)
