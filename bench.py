@@ -49,7 +49,12 @@ CHILD_MARGIN_S = 4.0     # child stops measuring this far before its deadline
 
 def supervise() -> int:
     start = time.monotonic()
-    budget = float(os.environ.get("OSCEN_BENCH_BUDGET_S", "240"))
+    # 240 -> 420 in round 5: the relay's model-compile time reached
+    # ~156 s in-round; 240 s could expire before the first line printed
+    # (the per-class incremental protocol below also gets the first line
+    # out after ONE compile, so even a kill at 240 s now records the
+    # headline class)
+    budget = float(os.environ.get("OSCEN_BENCH_BUDGET_S", "420"))
     deadline = start + budget
     got_json = False
     attempt = 0
@@ -187,7 +192,8 @@ def measure() -> None:
         return next(v for v in outs.values() if hasattr(v, "shape"))
 
     synths = {}
-    for BLOCK in BLOCKS:
+
+    def build_one(BLOCK):
         print(f"[bench] compiling {model} B={BLOCK} mode={mode}",
               flush=True)
         synth = g.compile(sample_rate=SR, block_size=BLOCK, mode=mode)
@@ -216,6 +222,7 @@ def measure() -> None:
         # link latency are IN the measurement (that is the point), so
         # this number is also a function of host/link state.
         for BLOCK in BLOCKS:
+            build_one(BLOCK)
             synth = synths[BLOCK]
             note = [0]
 
@@ -260,10 +267,6 @@ def measure() -> None:
     # compute); timing two span lengths and subtracting cancels the RTT,
     # leaving pure chip throughput.
     n_small, n_large = 256, 2048
-    for BLOCK in BLOCKS:  # warmup/compile both variants
-        for n in (n_small, n_large):
-            synths[BLOCK].steady_checksum(n)
-    print("[bench] warmup done", flush=True)
 
     def span(synth, n):
         t0 = time.perf_counter()
@@ -305,18 +308,38 @@ def measure() -> None:
             "windows": len(ws),
         }), flush=True)
 
-    windows = {B: [window(synths[B])] for B in BLOCKS}
-    for B in BLOCKS:   # the round's numbers now exist whatever happens next
-        emit(B, windows[B])
+    # Per-class incremental protocol (round 5): compile + warm + measure
+    # + EMIT each block size COMPLETELY before starting the next, so the
+    # FIRST JSON line exists after ONE model compile.  The round-5 relay
+    # measured single-model compiles at up to ~156 s — the old
+    # compile-everything-first ordering could exhaust the whole budget
+    # before printing anything.  The headline class (BLOCKS[-1], the
+    # streaming B=1024 by default) is processed FIRST so the earliest
+    # possible recorded line is the headline; the refinement loop
+    # re-emits in BLOCKS order so the headline line also stays LAST.
+    windows = {}
+    for BLOCK in reversed(BLOCKS):   # headline class first
+        build_one(BLOCK)
+        for n in (n_small, n_large):
+            synths[BLOCK].steady_checksum(n)
+        print(f"[bench] warmup done B={BLOCK}", flush=True)
+        windows[BLOCK] = [window(synths[BLOCK])]
+        emit(BLOCK, windows[BLOCK])
+        if time.monotonic() + 15.0 >= stop_by:
+            break  # whatever was emitted stands
+    live = [B for B in BLOCKS if B in windows]
+    for B in live:   # ordered re-emit: the headline line is last even
+        emit(B, windows[B])  # if no refinement window fits the budget
     MAX_WINDOWS = 7
-    while (min(len(w) for w in windows.values()) < MAX_WINDOWS
-           and time.monotonic() + 8.0 * len(BLOCKS) < stop_by):
+    while (live
+           and min(len(windows[B]) for B in live) < MAX_WINDOWS
+           and time.monotonic() + 8.0 * len(live) < stop_by):
         time.sleep(min(6.0, max(0.0, stop_by - time.monotonic() - 2.0)))
-        if time.monotonic() + 2.0 * len(BLOCKS) >= stop_by:
+        if time.monotonic() + 2.0 * len(live) >= stop_by:
             break
-        for B in BLOCKS:  # re-emit BOTH so the streaming line stays last
+        for B in live:  # re-emit so the headline line stays last
             windows[B].append(window(synths[B]))
-        for B in BLOCKS:
+        for B in live:
             emit(B, windows[B])
 
 
