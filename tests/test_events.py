@@ -290,3 +290,68 @@ def test_step_value_staging_parity(monkeypatch):
     a = run(True)
     b = run(False)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_event_staging_parity(monkeypatch, seed):
+    """Fuzz the round-5 control plane: random MIDI streams (note-ons,
+    note-offs, retriggers, steals, multiple events per block, empty
+    blocks) rendered with the production staging (StepValue + packed
+    single-transfer) must be BIT-identical to the legacy per-array,
+    host-materialized staging."""
+    def build():
+        N = 4
+        g = Graph("FuzzStage")
+        g.input("midi_in", "event")
+        g.output("out", "stream")
+        parser = g.add("parser", MidiParser())
+        alloc = g.add("alloc", VoiceAllocator(N))
+        handlers = g.add("handlers", MidiVoiceHandler(), count=N)
+        envs = g.add("envs", AdsrEnvelope(0.002, 0.01, 0.8, 0.03), count=N)
+        oscs = g.add("oscs", Oscillator.sine(440.0, 0.25), count=N)
+        mix = g.add("mix", Gain(1.0))
+        g.connect("midi_in", parser.midi_in)
+        g.connect(parser.note_on, alloc.note_on)
+        g.connect(parser.note_off, alloc.note_off)
+        g.connect(alloc.voices, handlers.note_on)
+        g.connect(alloc.voices, handlers.note_off)
+        g.connect(handlers.gate, envs.gate)
+        g.connect(handlers.frequency, oscs.frequency)
+        g.connect(oscs.output * envs.output, mix.input)
+        g.connect(mix.output, "out")
+        return g
+
+    B = 128
+    rng = np.random.default_rng(seed)
+    script = []  # per block: list of (offset, raw bytes)
+    held = []
+    for _ in range(12):
+        evs = []
+        for _ in range(int(rng.integers(0, 4))):
+            off = int(rng.integers(0, B))
+            if held and rng.random() < 0.4:
+                note = held.pop(int(rng.integers(0, len(held))))
+                evs.append((off, [0x80, note, 0]))
+            else:
+                note = int(rng.integers(40, 90))
+                vel = int(rng.integers(1, 128))
+                evs.append((off, [0x90, note, vel]))
+                held.append(note)
+        script.append(evs)
+
+    def run(production):
+        monkeypatch.setenv("OSCEN_STEP_STAGING",
+                           "1" if production else "0")
+        monkeypatch.setenv("OSCEN_PACKED_STAGING",
+                           "1" if production else "0")
+        c = build().compile(48000.0, block_size=B, mode="block")
+        chunks = []
+        for evs in script:
+            for off, data in evs:
+                c.queue_event("midi_in", off, raw_midi_event(data))
+            chunks.append(c.render_mono(B))
+        return np.concatenate(chunks)
+
+    a = run(True)
+    b = run(False)
+    np.testing.assert_array_equal(a, b)
