@@ -19,14 +19,24 @@ class ValueRampState:
         self.target = np.float32(initial)
         self.increment = np.float32(0.0)
         self.frames_remaining = 0
+        # False until ANY setter runs: a never-touched parameter still
+        # holds its compile-time default, so the block compiler may
+        # stage it as a TRACE-TIME LITERAL (folded into the program like
+        # an unconnected node default) instead of a runtime [1] operand.
+        # The first setter flips it, restaging the parameter as runtime
+        # data (one bounded retrace — the same class as the idle-[1] vs
+        # ramping-[B] shape split).
+        self.touched = False
 
     def set_immediate(self, v: float) -> None:
+        self.touched = True
         self.current = np.float32(v)
         self.target = np.float32(v)
         self.increment = np.float32(0.0)
         self.frames_remaining = 0
 
     def set_with_ramp(self, target: float, frames: int) -> None:
+        self.touched = True
         if frames == 0:
             self.set_immediate(target)
         else:

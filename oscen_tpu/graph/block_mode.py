@@ -113,7 +113,7 @@ def _sccs(nodes: List[str], deps: Dict[str, set]) -> List[List[str]]:
     return out
 
 
-def make_block_fn(prog, block_len: int, shard=None):
+def make_block_fn(prog, block_len: int, shard=None, literal_params=None):
     """Build the block-mode traced function
     ``(state, per_block, ev_bufs) -> (state, out_blocks)``.
 
@@ -125,7 +125,16 @@ def make_block_fn(prog, block_len: int, shard=None):
     emit_edge.rs:67-84, as an ICI collective), and graph-output
     instance-axis reductions likewise.  Host-staged per-voice value
     arrays arrive pre-sliced by shard_map's in_specs.
+
+    ``literal_params``: current values of never-touched graph VALUE
+    inputs (see CompiledGraph._literal_params), reported through
+    ``literal_eps`` so nodes can SPECIALIZE branches on them (e.g. a
+    literal-0.0 modulation amount compiles its whole path away).  The
+    params themselves remain runtime [1] operands — only decisions
+    specialize, never arithmetic values (bit-exactness: XLA folding
+    transcendentals of literals rounds differently than runtime f32).
     """
+    literal_params = literal_params or {}
     ir = prog.ir
     B = block_len
     shard_axis, n_shards = shard if shard is not None else (None, 1)
@@ -341,6 +350,12 @@ def make_block_fn(prog, block_len: int, shard=None):
         env: Dict[Tuple[str, str], Any] = {}
         new_state = dict(state)
         fb = dict(state["__fb__"])
+        # node outputs PROVEN block-constant at trace time (filled in
+        # topo order by const_out_eps-declaring stateless nodes whose
+        # inputs are const/literal — e.g. a MulAdd with literal-0.0 gain;
+        # consumers' const_eps then treat edges from them as constant, so
+        # const-ness propagates through stateless modulation chains)
+        const_outs: set = set()
 
         def resolve_block(edge: Optional[IrEdge]):
             def resolve(ref: EndpointRef):
@@ -484,7 +499,7 @@ def make_block_fn(prog, block_len: int, shard=None):
                 if ref.node in prog.host_set:
                     return (f"__host__{ref.node}.{ref.endpoint}"
                             in const_inputs)
-                return False
+                return (ref.node, ref.endpoint) in const_outs
 
             def expr_const(ex) -> bool:
                 if isinstance(ex, Const):
@@ -530,6 +545,11 @@ def make_block_fn(prog, block_len: int, shard=None):
             def lit(ex):
                 if isinstance(ex, Const):
                     return float(ex.value)
+                if isinstance(ex, EndpointRef) and ex.node == "" \
+                        and ex.endpoint in literal_params:
+                    # a never-touched graph param holding its default is
+                    # part of THIS trace (the trace is keyed on it)
+                    return float(literal_params[ex.endpoint])
                 if isinstance(ex, BinOp):
                     l, r = lit(ex.lhs), lit(ex.rhs)
                     if l is None or r is None or ex.op not in "+-*/":
@@ -636,24 +656,41 @@ def make_block_fn(prog, block_len: int, shard=None):
                     explain.note(epilogue_fused_consumer=_t)
             elif inst.count > 1:
                 explain.note(path="vmap")
+                import inspect as _inspect
+                kwb = {}
+                _sig = _inspect.signature(node.process_block).parameters
+                if "const_ins" in _sig:
+                    kwb["const_ins"] = const_eps(name)
+                if "literal_ins" in _sig:
+                    kwb["literal_ins"] = literal_eps(name)
                 st, outs = jax.vmap(
                     lambda s, i, ev: node.process_block(
-                        s, i, ev, sr, Bn),
+                        s, i, ev, sr, Bn, **kwb),
                     in_axes=(0, 0, 0))(st, ins, evs)
             else:
                 if explain.active():
                     explain.note(path="block",
                                  const_ins=sorted(const_eps(name)))
                 import inspect as _inspect
-                if "const_ins" in _inspect.signature(
-                        node.process_block).parameters:
-                    st, outs = node.process_block(
-                        st, ins, evs, sr, Bn, const_ins=const_eps(name))
-                else:
-                    st, outs = node.process_block(st, ins, evs, sr, Bn)
+                kwb = {}
+                _sig = _inspect.signature(node.process_block).parameters
+                if "const_ins" in _sig:
+                    kwb["const_ins"] = const_eps(name)
+                if "literal_ins" in _sig:
+                    kwb["literal_ins"] = literal_eps(name)
+                st, outs = node.process_block(st, ins, evs, sr, Bn, **kwb)
             new_state[name] = st
             for k, v in outs.items():
                 env[(name, k)] = v  # [C, B, ...] / [B, ...]
+            # const-ness propagation: a stateless node may prove outputs
+            # block-constant from its (const, literal) input sets
+            cfn = getattr(node, "const_out_eps", None)
+            if cfn is not None:
+                ceps = cfn(const_eps(name), literal_eps(name))
+                if ceps:
+                    for epn in ceps:
+                        const_outs.add((name, epn))
+                    explain.note(const_outputs=sorted(ceps))
 
         for ci, comp in enumerate(comps):
             if len(comp) == 1 and not is_island(comp):

@@ -1011,9 +1011,32 @@ class CompiledGraph:
         return ev_bufs, host_vals
 
     # ------------------------------------------------------------------ #
+    def _literal_params(self) -> Dict[str, float]:
+        """Values of graph VALUE inputs that have NEVER been set (they
+        still hold their compile-time defaults), exposed to nodes'
+        ``literal_ins`` for trace-time SPECIALIZATION decisions — e.g. a
+        pivot whose ``filter_env_amount`` was never raised compiles the
+        cutoff-modulation MulAdd as a constant pass-through (the ·0 term
+        dropped) so the filter hoists its coefficients with no runtime
+        cond.  The parameters themselves STAY runtime [1] operands
+        (bit-exactness: XLA folding transcendentals of literals rounds
+        differently than the runtime f32 ops — measured 2.3e-5 relative
+        on the pivot — so only the zero/branch decisions specialize,
+        never the arithmetic values).  The first setter flips
+        ``touched`` and drops the specialization (one bounded retrace;
+        the trace cache is keyed on these values).
+        ``OSCEN_LITERAL_PARAMS=0`` disables the specialization class."""
+        import os
+        if os.environ.get("OSCEN_LITERAL_PARAMS", "1") == "0":
+            return {}
+        return {name: float(r.current)
+                for name, r in self._params.items() if not r.touched}
+
     def _get_block_fn(self, block_len: int, ev_caps: Tuple,
                       stream_keys: Tuple):
-        key = (self.mode, block_len, ev_caps, stream_keys)
+        lits = self._literal_params()
+        key = (self.mode, block_len, ev_caps, stream_keys,
+               tuple(sorted(lits.items())))
         fn = self._block_fn_cache.get(key)
         if fn is not None:
             return fn
@@ -1046,10 +1069,12 @@ class CompiledGraph:
             if shard is not None:
                 mesh, axis = shard
                 inner = make_block_fn(prog, block_len,
-                                      shard=(axis, mesh.devices.size))
+                                      shard=(axis, mesh.devices.size),
+                                      literal_params=lits)
                 block_fn = self._wrap_shard_map(inner, mesh, axis)
             else:
-                block_fn = make_block_fn(prog, block_len)
+                block_fn = make_block_fn(prog, block_len,
+                                         literal_params=lits)
 
         if self._jit:
             block_fn = jax.jit(block_fn)
@@ -1444,7 +1469,8 @@ class CompiledGraph:
             # CURRENT values instead of reporting "runtime".
             if self.mode == "block":
                 from .block_mode import make_block_fn
-                fn = make_block_fn(self.prog, B)
+                fn = make_block_fn(self.prog, B,
+                                   literal_params=self._literal_params())
             else:
                 fn = self._get_block_fn(B, ev_caps,
                                         tuple(sorted(per_block)))

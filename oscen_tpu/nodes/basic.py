@@ -148,6 +148,31 @@ class MulAdd(_StatelessNode):
         return state, {"output": ins["input"] * ins["gain"]
                        + ins["value"]}
 
+    def const_out_eps(self, const_ins, literal_ins):
+        """Block-constant-output declaration (graph/block_mode.py
+        const_outs): with a LITERAL 0.0 gain the stream input is
+        multiplied out entirely, so the output is constant whenever
+        ``value`` is; with every input constant it trivially is."""
+        if literal_ins.get("gain") == 0.0 and "value" in const_ins:
+            return ("output",)
+        if {"input", "gain", "value"} <= set(const_ins):
+            return ("output",)
+        return ()
+
+    def process_block(self, state, ins, events, sr, block_len,
+                      literal_ins=None):
+        if literal_ins and literal_ins.get("gain") == 0.0:
+            # out = in·0 + value ≡ value: the modulation path compiles
+            # away (its producer becomes dead code XLA eliminates).  The
+            # trace-time-zero judgment matches the FM chain's literal-0.0
+            # feedback specialization: modulation sources here are finite
+            # by construction, so dropping the ·0 term is exact.
+            v = ins["value"]
+            shape = jnp.broadcast_shapes(jnp.shape(ins["input"]),
+                                         jnp.shape(v))
+            return state, {"output": jnp.broadcast_to(v, shape)}
+        return self.tick(state, ins, sr)
+
 
 class Tremolo(Node):
     """Mono→stereo constant-power pan LFO (reference

@@ -87,6 +87,10 @@ def load_state(compiled, path: str) -> None:
         r.target = np.float32(p["target"])
         r.increment = np.float32(p["increment"])
         r.frames_remaining = int(p["frames_remaining"])
+        # conservative: restored params stage as runtime data (the
+        # checkpoint doesn't record whether they were ever set, and the
+        # saved value may differ from the compile-time default)
+        r.touched = True
     for name, snapshots in blob.get("host_nodes", {}).items():
         if name not in compiled.prog.host_set:
             continue

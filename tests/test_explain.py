@@ -129,3 +129,47 @@ def test_electric_piano_explain(monkeypatch):
     adds2 = [e for e in entries2
              if str(e.get("kernel", "")).startswith("additive_voice_")]
     assert adds2[0]["kernel"] == "additive_voice_parity"
+
+
+def test_literal_params_fold_modulation_path(monkeypatch):
+    """Never-touched graph params stage as TRACE-TIME LITERALS: the
+    pivot's filter_env_amount defaults to 0.0, so the cutoff-modulation
+    MulAdd compiles to a constant (const_out_eps) and the TptFilter
+    hoists its coefficients with NO runtime cond.  Setting the param
+    mid-run moves it to runtime staging (one bounded retrace) and the
+    audio matches the always-runtime staging bit-for-bit."""
+    import numpy as np
+    from oscen_tpu import raw_midi_event
+    from oscen_tpu.models.pivot import build_pivot
+
+    def run(literal):
+        monkeypatch.setenv("OSCEN_LITERAL_PARAMS",
+                           "1" if literal else "0")
+        s = build_pivot(4).compile(48000.0, block_size=128, mode="block")
+        s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
+        a = s.render_mono(512)
+        # raise the modulation amount mid-run: the literal class must
+        # hand off to runtime staging with identical audio
+        s.set_value("filter_env_amount", 800.0)
+        b = s.render_mono(512)
+        return np.concatenate([a, b]), s
+
+    a, sa = run(True)
+    b, sb = run(False)
+    np.testing.assert_array_equal(a, b)
+
+    # explain (TPU batched path via interpret-mode Pallas): with the
+    # literal default the cutoff-mod output is a proven constant and the
+    # filter compiles the hoisted coefficient path with NO runtime check
+    monkeypatch.setenv("OSCEN_LITERAL_PARAMS", "1")
+    monkeypatch.setenv("OSCEN_PALLAS_INTERPRET", "1")
+    s = build_pivot(4).compile(48000.0, block_size=128, mode="block")
+    notes = str(s.explain())
+    assert "const_outputs" in notes, notes
+    assert "const_params" in notes or "hoisted" in notes, notes
+    # and with the amount raised, the specialization is off
+    monkeypatch.setenv("OSCEN_LITERAL_PARAMS", "1")
+    s2 = build_pivot(4).compile(48000.0, block_size=128, mode="block")
+    s2.set_value("filter_env_amount", 500.0)
+    notes2 = str(s2.explain())
+    assert "const_outputs" not in notes2, notes2

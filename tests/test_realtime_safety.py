@@ -22,6 +22,11 @@ def _total_cache_size(compiled):
 
 def test_steady_state_never_recompiles():
     s = build_poly_synth(4).compile(48000.0, block_size=128)
+    # touch the live param BEFORE warmup: a never-touched param stages
+    # as a trace-time literal, so the FIRST set_value moves it to the
+    # runtime [1] staging class (one bounded retrace — same class as
+    # idle-[1] vs ramping-[B])
+    s.set_value("cutoff", 800.0)
     s.queue_event("midi_in", 0, raw_midi_event([0x90, 60, 100]))
     s.process_block()          # event-block (packed) variant compiles
     s.process_block()          # steady variant compiles
