@@ -34,6 +34,15 @@ class _StatelessNode(Node):
     def process_block(self, state, ins, events, sr, block_len):
         return self.tick(state, ins, sr)
 
+    def const_out_eps(self, const_ins, literal_ins):
+        """Const-output propagation (graph/block_mode.py const_outs): a
+        pure function of block-constant inputs is block-constant."""
+        from ..core.types import Kind as _K
+        if all(e.name in const_ins for e in self.INPUTS
+               if e.kind not in (_K.EVENT, _K.ASSET)):
+            return tuple(o.name for o in self.OUTPUTS)
+        return ()
+
 
 class Gain(_StatelessNode):
     """``out = in * gain`` (reference gain/mod.rs)."""
@@ -152,12 +161,11 @@ class MulAdd(_StatelessNode):
         """Block-constant-output declaration (graph/block_mode.py
         const_outs): with a LITERAL 0.0 gain the stream input is
         multiplied out entirely, so the output is constant whenever
-        ``value`` is; with every input constant it trivially is."""
+        ``value`` is; with every input constant it trivially is
+        (the _StatelessNode base rule)."""
         if literal_ins.get("gain") == 0.0 and "value" in const_ins:
             return ("output",)
-        if {"input", "gain", "value"} <= set(const_ins):
-            return ("output",)
-        return ()
+        return super().const_out_eps(const_ins, literal_ins)
 
     def process_block(self, state, ins, events, sr, block_len,
                       literal_ins=None):
