@@ -554,8 +554,10 @@ def make_block_fn(prog, block_len: int, shard=None, literal_params=None):
                     l, r = lit(ex.lhs), lit(ex.rhs)
                     if l is None or r is None or ex.op not in "+-*/":
                         return None
+                    if ex.op == "/" and r == 0.0:
+                        return None  # not a literal: leave it to runtime
                     return {"+": l + r, "-": l - r,
-                            "*": l * r, "/": l / r}[ex.op]
+                            "*": l * r, "/": l / r if r else None}[ex.op]
                 return None
 
             out = {}

@@ -855,7 +855,16 @@ class CompiledGraph:
                         ev_in = dict(empty_in)
                     evs_out, vals_out = node.host_process(
                         block_len, ev_in, v_in)
-                    for ep, evs in (evs_out or {}).items():
+                    evs_out = evs_out or {}
+                    # defensive against partial returns: a node that
+                    # omits an event endpoint this call emits NOTHING on
+                    # it — clear the persistent slot or last block's
+                    # events would re-stage forever (value endpoints, by
+                    # contrast, persist as "unchanged")
+                    for ep, lst in hs["ev"].items():
+                        if ep not in evs_out:
+                            lst[i] = _EMPTY_EVS
+                    for ep, evs in evs_out.items():
                         hs["ev"].setdefault(ep, [_EMPTY_EVS] * cnt)[i] = evs
                     for ep, arr in (vals_out or {}).items():
                         # classify into the per-endpoint record so the
@@ -865,18 +874,21 @@ class CompiledGraph:
                         rec = hs["vrec"].get(ep)
                         if rec is None:
                             rec = {"const": np.zeros(cnt, np.float32),
-                                   "steps": {}, "full": {},
-                                   "irregular": False}
+                                   "steps": {}, "full": {}, "irr": set()}
                             hs["vrec"][ep] = rec
                         rec["steps"].pop(i, None)
                         rec["full"].pop(i, None)
+                        rec["irr"].discard(i)
                         if isinstance(arr, StepValue):
                             rec["steps"][i] = arr
                             rec["const"][i] = arr.target
                         else:
                             arr = np.asarray(arr, np.float32)
                             if arr.ndim != 1:
-                                rec["irregular"] = True
+                                # non-scalar payload: per-instance, and
+                                # cleared when the instance reruns with a
+                                # regular output (not sticky)
+                                rec["irr"].add(i)
                                 rec["full"][i] = arr
                             elif arr.shape[0] == 1:
                                 rec["const"][i] = arr[0]
@@ -895,7 +907,7 @@ class CompiledGraph:
                     # reconstruct_step_values).  OSCEN_STEP_STAGING=0
                     # forces the materialized form (parity A/B).
                     steps = rec["steps"]
-                    if rec["irregular"] or rec["full"] or (
+                    if rec["irr"] or rec["full"] or (
                             steps and not _step_staging_on()):
                         # generic fallback: materialize + broadcast +
                         # stack ([B, C]) — rare (multi-step blocks or
@@ -1032,16 +1044,10 @@ class CompiledGraph:
         return {name: float(r.current)
                 for name, r in self._params.items() if not r.touched}
 
-    def _get_block_fn(self, block_len: int, ev_caps: Tuple,
-                      stream_keys: Tuple):
-        lits = self._literal_params()
-        key = (self.mode, block_len, ev_caps, stream_keys,
-               tuple(sorted(lits.items())))
-        fn = self._block_fn_cache.get(key)
-        if fn is not None:
-            return fn
-
-        prog = self.prog
+    def _make_scan_fn(self, block_len: int):
+        """The sample-mode (per-sample lax.scan) block function, fresh
+        and unjitted — _get_block_fn wraps/caches it; explain() calls it
+        directly so the trace (and its explain notes) actually reruns."""
         step = self._step
 
         def block_fn(state, per_block, ev_bufs):
@@ -1063,6 +1069,19 @@ class CompiledGraph:
             state, outs = jax.lax.scan(body, state, (ts, per_block))
             return state, outs
 
+        return block_fn
+
+    def _get_block_fn(self, block_len: int, ev_caps: Tuple,
+                      stream_keys: Tuple):
+        lits = self._literal_params()
+        key = (self.mode, block_len, ev_caps, stream_keys,
+               tuple(sorted(lits.items())))
+        fn = self._block_fn_cache.get(key)
+        if fn is not None:
+            return fn
+
+        prog = self.prog
+        block_fn = self._make_scan_fn(block_len)
         shard = getattr(self, "_shard", None)
         if self.mode == "block":
             from .block_mode import make_block_fn
@@ -1301,8 +1320,12 @@ class CompiledGraph:
             + [("ev", k, tuple(np.shape(np.asarray(ev_bufs[k].offsets))))
                for k in sorted(ev_bufs)])
         all_keys = tuple(sorted(set(dev_pb) | set(dyn_np)))
+        # the wrapper closes over an inner built with the CURRENT
+        # literal-param specializations — key on them, or an event block
+        # after the first set_value() would reuse a stale specialized fn
         key = ("packed", self.mode, B, ev_caps, spec,
-               tuple(sorted(dev_pb)))
+               tuple(sorted(dev_pb)),
+               tuple(sorted(self._literal_params().items())))
         fn = self._block_fn_cache.get(key)
         if fn is None:
             inner = self._get_block_fn(B, ev_caps, all_keys)
@@ -1384,7 +1407,8 @@ class CompiledGraph:
         B = int(block_len or self.block_size)
         ev_bufs, per_block, ev_caps = self._steady_staging(B)
         key = ("steady", self.mode, B, ev_caps, tuple(sorted(per_block)),
-               int(num_blocks))
+               int(num_blocks),
+               tuple(sorted(self._literal_params().items())))
         fn = self._block_fn_cache.get(key)
         if fn is None:
             inner = self._get_block_fn(B, ev_caps, tuple(sorted(per_block)))
@@ -1472,8 +1496,9 @@ class CompiledGraph:
                 fn = make_block_fn(self.prog, B,
                                    literal_params=self._literal_params())
             else:
-                fn = self._get_block_fn(B, ev_caps,
-                                        tuple(sorted(per_block)))
+                # fresh UNJITTED fn: the cached jitted one would reuse
+                # its trace and the explain notes would never fire
+                fn = self._make_scan_fn(B)
             entries: list = []
             with _explain.recording(entries):
                 jax.eval_shape(lambda s, eb: fn(s, per_block, eb),
@@ -1511,7 +1536,13 @@ class CompiledGraph:
         """Current host-known value of a node's VALUE input: literal
         Consts, arithmetic over them, and live graph params (their
         current ramp value).  None when any feeding source is computed
-        on device (a stream / another node's output)."""
+        on device (a stream / another node's output).
+
+        NOTE: the edge-eligibility and arithmetic rules here must agree
+        with block_mode.py's ``literal_eps`` evaluator — explain()'s
+        predicate resolution reports which branch the trace specialized,
+        so the two walks must classify the same expressions the same
+        way."""
         def ev(ex):
             if isinstance(ex, Const):
                 return float(ex.value)
@@ -1519,8 +1550,10 @@ class CompiledGraph:
                 l, r = ev(ex.lhs), ev(ex.rhs)
                 if l is None or r is None or ex.op not in "+-*/":
                     return None
+                if ex.op == "/" and r == 0.0:
+                    return None  # not host-resolvable, not a crash
                 return {"+": l + r, "-": l - r,
-                        "*": l * r, "/": l / r}[ex.op]
+                        "*": l * r, "/": l / r if r else None}[ex.op]
             if isinstance(ex, EndpointRef):
                 if ex.node == "" and ex.endpoint in self._params:
                     return float(self._params[ex.endpoint].current)
@@ -1570,7 +1603,9 @@ class CompiledGraph:
         # static-length scan) so one compile serves every span — the
         # bench warms up in one compile per block size instead of one
         # per (block size, span) pair, which halved its wall budget.
-        key = ("steady_ck", self.mode, B, ev_caps, tuple(sorted(per_block)))
+        key = ("steady_ck", self.mode, B, ev_caps,
+               tuple(sorted(per_block)),
+               tuple(sorted(self._literal_params().items())))
         fn = self._block_fn_cache.get(key)
         if fn is None:
             inner = self._get_block_fn(B, ev_caps, tuple(sorted(per_block)))

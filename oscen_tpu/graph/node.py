@@ -204,8 +204,14 @@ class HostNode(Node):
                                 Dict[str, np.ndarray]]:
         """Process one block of control data.
 
-        Returns (event outputs by endpoint, value outputs by endpoint as
-        per-sample ``[B]`` float32 arrays).
+        Returns (event outputs by endpoint, value outputs by endpoint —
+        per-sample ``[B]`` float32 arrays, block-constant ``[1]`` arrays,
+        or :class:`StepValue`).  ``events_in`` sequences are read-only
+        (they may be shared tuples).  An event endpoint omitted from the
+        returned dict emits nothing this block (the prepass clears its
+        persistent slot); an omitted VALUE endpoint keeps its previous
+        value ("unchanged") — see compile.py's ``_host_steady``
+        bookkeeping.
         """
         raise NotImplementedError
 

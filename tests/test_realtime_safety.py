@@ -120,3 +120,65 @@ def test_staging_cache_refreshes_after_events():
     a = run(False)
     b = run(True)
     np.testing.assert_array_equal(a, b)
+
+
+def test_literal_specialization_refreshes_on_first_set_value():
+    """Regression (round-5 review): every cached execution wrapper —
+    the packed event-block fn, render_steady, steady_checksum — must be
+    keyed on the literal-param specialization set, or the first
+    set_value() on a never-touched param would keep serving the stale
+    specialized program on those paths."""
+    import numpy as np
+    from oscen_tpu import (AdsrEnvelope, Gain, Graph, MidiParser,
+                           MidiVoiceHandler, MulAdd, Oscillator,
+                           VoiceAllocator, raw_midi_event)
+
+    def build():
+        g = Graph("LitRefresh")
+        g.input("midi_in", "event")
+        g.input("mod_amount", "value", default=0.0)  # never touched ->
+        g.output("out", "stream")                    # literal-0 folding
+        parser = g.add("parser", MidiParser())
+        alloc = g.add("alloc", VoiceAllocator(2))
+        handlers = g.add("handlers", MidiVoiceHandler(), count=2)
+        envs = g.add("envs", AdsrEnvelope(0.001, 0.01, 0.8, 0.02),
+                     count=2)
+        oscs = g.add("oscs", Oscillator.sine(440.0, 0.3), count=2)
+        # mod = env*amount + 1.0 scales the osc: with amount untouched at
+        # 0.0 the whole modulation folds to the constant 1.0
+        mod = g.add("mod", MulAdd(0.0, 1.0), count=2)
+        mix = g.add("mix", Gain(1.0))
+        g.connect("midi_in", parser.midi_in)
+        g.connect(parser.note_on, alloc.note_on)
+        g.connect(parser.note_off, alloc.note_off)
+        g.connect(alloc.voices, handlers.note_on)
+        g.connect(alloc.voices, handlers.note_off)
+        g.connect(handlers.gate, envs.gate)
+        g.connect(handlers.frequency, oscs.frequency)
+        g.connect(envs.output, mod.input)
+        g.connect("mod_amount", mod.gain)
+        g.connect(oscs.output * mod.output * envs.output, mix.input)
+        g.connect(mix.output, "out")
+        return g
+
+    def run(touch_first):
+        s = build().compile(48000.0, block_size=128, mode="block")
+        if touch_first:
+            s.set_value("mod_amount", 0.0)  # touched, same value
+        # event block exercises the PACKED path with the literal set
+        s.queue_event("midi_in", 3, raw_midi_event([0x90, 60, 100]))
+        a = [s.render_mono(128)]
+        # first set_value on the untouched param: all cached wrappers
+        # must refresh to the unspecialized program
+        s.set_value("mod_amount", 2.0)
+        s.queue_event("midi_in", 5, raw_midi_event([0x90, 64, 90]))
+        a.append(s.render_mono(128))        # packed event block
+        a.append(s.render_mono(128))        # steady block
+        ck = float(s.steady_checksum(2))
+        a.append(s.render_mono(256))
+        return np.concatenate(a), ck
+
+    a, ck_a = run(False)   # literal class engaged, then handed off
+    b, ck_b = run(True)    # runtime staging throughout
+    np.testing.assert_array_equal(a, b)
+    assert ck_a == ck_b, (ck_a, ck_b)
