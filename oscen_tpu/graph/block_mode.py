@@ -562,10 +562,15 @@ def make_block_fn(prog, block_len: int, shard=None, literal_params=None):
 
             out = {}
             for ep in inst.node.INPUTS:
-                if ep.kind != Kind.VALUE:
+                # STREAM endpoints fed only by Const/untouched-param
+                # expressions are literals too (a value->stream edge just
+                # broadcasts the scalar) — e.g. the reference fm/pivot
+                # voices feed Gain.gain (stream) from filter_env_amount
+                if ep.kind not in (Kind.VALUE, Kind.STREAM):
                     continue
                 edges = prog.edges_by_dst.get((name, ep.name), [])
                 if not edges:
+                    # unconnected: the default fill is the literal
                     out[ep.name] = float(ep.default or 0.0)
                     continue
                 total, ok = None, True

@@ -56,6 +56,26 @@ class Gain(_StatelessNode):
     def tick(self, state, ins, sr):
         return state, {"output": ins["input"] * ins["gain"]}
 
+    def const_out_eps(self, const_ins, literal_ins):
+        """With a LITERAL 0.0 gain the output is identically zero
+        regardless of the stream input (the reference fm/pivot voices
+        feed filter_env_gain a 0.0-default amount — the whole envelope
+        modulation path folds away until the param is first set)."""
+        if literal_ins.get("gain") == 0.0:
+            return ("output",)
+        return super().const_out_eps(const_ins, literal_ins)
+
+    def process_block(self, state, ins, events, sr, block_len,
+                      literal_ins=None):
+        if literal_ins and literal_ins.get("gain") == 0.0:
+            # in·0 ≡ 0 (inputs finite by construction; the same
+            # trace-time-zero judgment as the FM chain's literal-0.0
+            # feedback / MulAdd's zero gain)
+            shape = jnp.broadcast_shapes(jnp.shape(ins["input"]),
+                                         jnp.shape(ins["gain"]))
+            return state, {"output": jnp.zeros(shape, jnp.float32)}
+        return self.tick(state, ins, sr)
+
 
 class Vca(_StatelessNode):
     """Voltage-controlled amplifier: ``out = in * control`` (stream ×
