@@ -183,10 +183,15 @@ def measure() -> None:
         from oscen_tpu.models.simple import build_saturator
         g = build_saturator(factor=4)
         NUM_VOICES = 1
+    elif model == "twin_peaks":
+        # the nih-twin-peaks plugin graph (dual-peak LP18 filter chain)
+        from oscen_tpu.models.twin_peaks import build_twin_peaks
+        g = build_twin_peaks()
+        NUM_VOICES = 1
     else:
         raise SystemExit(f"unknown --model={model} (electric_piano, "
                          f"poly_synth, fm_synth, pivot, readme_synth, "
-                         f"simple_echo, saturator)")
+                         f"simple_echo, saturator, twin_peaks)")
 
     def audio_of(outs):
         return next(v for v in outs.values() if hasattr(v, "shape"))

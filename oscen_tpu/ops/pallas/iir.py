@@ -24,7 +24,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .util import pick_unroll
 
-__all__ = ["tpt_svf_scan", "biquad_scan", "allpass_cascade_scan"]
+__all__ = ["tpt_svf_scan", "biquad_scan", "allpass_cascade_scan",
+           "lp18_scan"]
 
 
 def _pad_to(x, mult, axis):
@@ -111,6 +112,87 @@ def tpt_svf_scan(x, h, g, k, z0, z1, interpret: bool = False):
         interpret=interpret,
     )(xp, coef(h), coef(g), coef(k), row(z0), row(z1))
     return y[:B, :V], z0o[0, :V], z1o[0, :V]
+
+
+# --------------------------------------------------------------------- #
+def _lp18_kernel(B, U, x_ref, g_ref, h_ref, z_ref, y_ref, zo_ref):
+    # 3-pole Hordijk-style lowpass with a tanh-saturated first pole —
+    # a NONLINEAR recurrence (no associative-scan form exists), so the
+    # sequential-exact voice-parallel kernel is the only fast form.
+    # Exact reference op order (nih-twin-peaks/src/lp18_filter.rs; the
+    # tick in nodes/filters.py::LP18Filter).
+    const_coef = g_ref.shape[0] == 1
+
+    def sample(t, carry):
+        z0, z1, z2 = carry
+        x = x_ref[pl.ds(t, 1), :]
+        if const_coef:
+            g = g_ref[:]
+            h = h_ref[:]
+        else:
+            g = g_ref[pl.ds(t, 1), :]
+            h = h_ref[pl.ds(t, 1), :]
+        hp = (x - h * z0 - z1 - z2) / (1.0 + g)
+        bp1 = g * hp + z0
+        z0 = jnp.tanh(bp1)
+        bp2 = g * bp1 + z1
+        z1 = bp2
+        lp = g * bp2 + z2
+        z2 = lp
+        return (z0, z1, z2), lp
+
+    def body(i, carry):
+        rows = []
+        for j in range(U):
+            carry, lp = sample(i * U + j, carry)
+            rows.append(lp)
+        y_ref[pl.ds(i * U, U), :] = jnp.concatenate(rows, axis=0)
+        return carry
+
+    zo_ref[:] = z_ref[:]  # initialize padded rows (only 0-2 are real)
+    z0, z1, z2 = jax.lax.fori_loop(
+        0, B // U, body,
+        (z_ref[pl.ds(0, 1), :], z_ref[pl.ds(1, 1), :],
+         z_ref[pl.ds(2, 1), :]))
+    zo_ref[pl.ds(0, 1), :] = z0
+    zo_ref[pl.ds(1, 1), :] = z1
+    zo_ref[pl.ds(2, 1), :] = z2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lp18_scan(x, g, h, z, interpret: bool = False):
+    """LP18 (3-pole, tanh first pole) over a block, voice-parallel.
+
+    Args: x ``[B, V]`` time-major; g/h ``[V]`` block-constant or
+    ``[B, V]`` per-sample; z ``[3, V]`` pole states.  Returns
+    (y ``[B, V]``, z' ``[3, V]``) — bit-parity with the per-sample tick.
+    """
+    xp, B = _pad_to(x, 8, 0)
+    xp, V = _pad_to(xp, 128, 1)
+
+    def coef(v):
+        v = jnp.asarray(v)
+        if v.ndim == 2:
+            c, _ = _pad_to(v, 8, 0)
+            c, _ = _pad_to(c, 128, 1)
+            return c
+        r, _ = _pad_to(jnp.reshape(v, (1, -1)), 128, 1)
+        return r
+
+    zp, _ = _pad_to(jnp.asarray(z, jnp.float32), 128, 1)
+    zp, _ = _pad_to(zp, 8, 0)  # (3, V) -> (8, Vp) rows for tiling
+
+    y, zo = pl.pallas_call(
+        functools.partial(_lp18_kernel, B, pick_unroll(B)),
+        out_shape=(
+            jax.ShapeDtypeStruct(xp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(zp.shape, jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        interpret=interpret,
+    )(xp, coef(g), coef(h), zp)
+    return y[:B, :V], zo[:3, :V]
 
 
 # --------------------------------------------------------------------- #

@@ -469,3 +469,36 @@ def test_oscilloscope_auto_period_detection():
     st2 = run(128)
     assert int(st2["detected_period"]) == 192
     assert int(st2["period_count"]) == int(st["period_count"])
+
+
+def test_lp18_block_path_parity_and_invariance():
+    """LP18's block path (nonlinear tanh recurrence -> sequential-exact
+    Pallas kernel on TPU / identical lax.scan elsewhere) is bit-exactly
+    block-size invariant, matches sample mode within the XLA-contraction
+    tolerance class (~1e-7: the scan-compiled body contracts FMAs
+    differently than the fused whole-graph sample scan), and the Pallas
+    kernel (interpret mode) agrees with the lax.scan replay."""
+    import os
+    import numpy as np
+    from oscen_tpu.models.twin_peaks import build_twin_peaks
+
+    x = (np.random.default_rng(0).standard_normal(2048) * 0.3).astype(
+        np.float32)
+
+    def run(mode, bs, interpret=False):
+        if interpret:
+            os.environ["OSCEN_PALLAS_INTERPRET"] = "1"
+        try:
+            c = build_twin_peaks().compile(48000.0, block_size=bs,
+                                           mode=mode)
+            return np.asarray(
+                c.render(2048, stream_inputs={"audio_in": x})["audio_out"])
+        finally:
+            os.environ.pop("OSCEN_PALLAS_INTERPRET", None)
+
+    a = run("block", 512)
+    np.testing.assert_array_equal(a, run("block", 128))   # bit-invariant
+    s = run("sample", 512)
+    assert np.abs(a - s).max() < 1e-6, np.abs(a - s).max()
+    k = run("block", 512, interpret=True)   # the TPU kernel code path
+    assert np.abs(a - k).max() < 1e-6, np.abs(a - k).max()
