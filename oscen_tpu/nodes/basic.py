@@ -468,6 +468,30 @@ class FmOperator(Node):
         phase = phase - jnp.trunc(phase)  # Rust .fract()
         return ({"phase": phase, "prev_output": out}, {"output": out})
 
+    def process_block(self, state, ins, events, sr, block_len):
+        """Scalar-instance block path: route through the same
+        exact-op-order Pallas kernel as the voice-batched path (with a
+        width-1 instance axis).  Without this a standalone FmOperator
+        fell to the default per-sample Node scan on TPU (~3.6 µs per
+        Mosaic scan iteration — the cliff class the round-5 twin_peaks
+        bench exposed for LP18)."""
+        from ..ops.pallas.util import pallas_mode
+        use, interp = pallas_mode()
+        if not use:
+            return super().process_block(state, ins, events, sr,
+                                         block_len)
+        st1 = {k: jnp.reshape(jnp.asarray(v), (1,))
+               for k, v in state.items()}
+        ins1 = {k: jnp.broadcast_to(jnp.asarray(v), (block_len,))[None]
+                for k, v in ins.items()}
+        out = self.process_block_batched(st1, ins1, events, sr, block_len)
+        if out is None:  # pragma: no cover - use implies a kernel path
+            return super().process_block(state, ins, events, sr,
+                                         block_len)
+        st2, outs = out
+        return ({k: jnp.reshape(v, ()) for k, v in st2.items()},
+                {k: v[0] for k, v in outs.items()})
+
     def process_block_batched(self, state, ins, events, sr, block_len):
         """All voices through the exact-op-order Pallas kernel
         (ops/pallas/fm.py); the default path is a per-voice 512-step

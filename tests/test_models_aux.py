@@ -502,3 +502,35 @@ def test_lp18_block_path_parity_and_invariance():
     assert np.abs(a - s).max() < 1e-6, np.abs(a - s).max()
     k = run("block", 512, interpret=True)   # the TPU kernel code path
     assert np.abs(a - k).max() < 1e-6, np.abs(a - k).max()
+
+
+def test_scalar_fm_operator_uses_kernel_path():
+    """A standalone (count==1) FmOperator routes through the batched
+    Pallas kernel with a width-1 instance axis — block-size
+    bit-invariant and within kernel/scan tolerance of the per-sample
+    fallback (it previously fell to the default per-sample scan on
+    TPU, the 1.5x-RT cliff class)."""
+    import os
+    import numpy as np
+    from oscen_tpu import FmOperator, Graph
+
+    def run(interp, bs):
+        if interp:
+            os.environ["OSCEN_PALLAS_INTERPRET"] = "1"
+        try:
+            g = Graph("SoloFM")
+            g.input("freq", "value", default=220.0)
+            g.output("out", "stream")
+            op = g.add("op", FmOperator())
+            g.connect("freq", op.base_freq)
+            g.connect(op.output, "out")
+            c = g.compile(48000.0, block_size=bs, mode="block")
+            return c.render_mono(1024)
+        finally:
+            os.environ.pop("OSCEN_PALLAS_INTERPRET", None)
+
+    a = run(True, 256)
+    np.testing.assert_array_equal(a, run(True, 64))  # bit-invariant
+    b = run(False, 256)                              # CPU scan fallback
+    assert np.abs(a - b).max() < 2e-6
+    assert np.abs(np.asarray(a)).max() > 0.3
