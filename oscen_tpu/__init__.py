@@ -26,7 +26,8 @@ from .assets import AssetError, AudioAsset
 from .nodes.convolver import Convolver
 from .nodes.delay import Delay
 from .nodes.envelope import AdsrEnvelope
-from .nodes.filters import IirLowpass, LP18Filter, TptFilter
+from .nodes.filters import (DualLP18Diff, IirLowpass, LP18Filter,
+                            TptFilter)
 from .nodes.midi import (EventPassthrough, MidiParser, MidiVoiceHandler,
                          midi_note_to_freq, raw_midi_event)
 from .nodes.oscillators import Oscillator, PolyBlepOscillator
@@ -44,7 +45,8 @@ __all__ = [
     "EventPassthrough", "FloatParam", "FmOperator", "Frame", "Gain",
     "Graph", "NihParams", "nih_params",
     "GraphError", "HardClip", "HostNode", "IirLowpass", "Kind",
-    "LP18Filter", "MidiParser", "MidiVoiceHandler", "Mixer", "MulAdd",
+    "DualLP18Diff", "LP18Filter", "MidiParser", "MidiVoiceHandler",
+    "Mixer", "MulAdd",
     "Node",
     "NoteOffEvent", "NoteOnEvent", "Oscillator", "Oscilloscope",
     "ParamSpec",

@@ -10,14 +10,28 @@ the plugin's skewed ranges (the nih_params equivalent is
 
 from __future__ import annotations
 
+import os
+
 from ..core.types import ParamSpec
 from ..graph.builder import Graph
-from ..nodes.filters import LP18Filter
+from ..nodes.filters import DualLP18Diff, LP18Filter
 
 OUTPUT_GAIN = 5.0  # applied by the host outside the graph (lib.rs:12)
 
 
-def build_twin_peaks() -> Graph:
+def build_twin_peaks(fused: bool | None = None) -> Graph:
+    """The nih-twin-peaks plugin graph.
+
+    ``fused=True`` (the default) computes both LP18s in adjacent lanes
+    of ONE sequential kernel launch (:class:`DualLP18Diff` — 1.9x on
+    TPU, tools/lp18abl.py); ``fused=False`` keeps the reference's
+    two-node structure.  Bit-identical on the kernel path, ulp-level on
+    the CPU scan fallback
+    (tests/test_models_aux.py::test_twin_peaks_fused_matches_two_node).
+    ``OSCEN_TWIN_FUSED=0`` selects the two-node build by default.
+    """
+    if fused is None:
+        fused = os.environ.get("OSCEN_TWIN_FUSED", "1") != "0"
     g = Graph("TwinPeaksGraph")
     g.input("audio_in", "stream")
     g.input("cutoff_a", "value", default=1000.0,
@@ -27,6 +41,15 @@ def build_twin_peaks() -> Graph:
     g.input("resonance", "value", default=0.54,
             spec=ParamSpec(min=0.0, max=0.99))
     g.output("audio_out", "stream")
+
+    if fused:
+        f = g.add("filters", DualLP18Diff(1000.0, 1900.0, 0.54))
+        g.connect("audio_in", f.input)
+        g.connect("cutoff_a", f.cutoff_a)
+        g.connect("cutoff_b", f.cutoff_b)
+        g.connect("resonance", f.resonance)
+        g.connect(f.output, "audio_out")
+        return g
 
     fa = g.add("filter_a", LP18Filter(1000.0, 0.54))
     fb = g.add("filter_b", LP18Filter(1900.0, 0.54))

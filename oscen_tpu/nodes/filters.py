@@ -460,8 +460,11 @@ class LP18Filter(Node):
                       2.0 * jnp.clip(resonance, 0.0, 0.99), state["h"])
         x = ins["input"]
         z = state["z"]
+        from ..graph import explain
         from ..ops.pallas.util import pallas_mode
         use, interp = pallas_mode()
+        explain.note(kernel="lp18_scan" if use else "lax.scan",
+                     lanes=1, sequential_exact=True)
         if use:
             from ..ops.pallas.iir import lp18_scan
             y, zo = lp18_scan(x[:, None], g[:, None], h[:, None],
@@ -491,3 +494,127 @@ class LP18Filter(Node):
                      res_changed, resonance,
                      state["last_resonance"])[-1]},
                 {"output": y})
+
+
+class DualLP18Diff(Node):
+    """Fused twin-peaks core: TWO independent LP18 filters over the same
+    input, computed in ONE voice-parallel kernel launch; output is their
+    difference (the movable resonant band,
+    reference examples/nih-twin-peaks/src/lib.rs:15-48).
+
+    The sequential-exact LP18 kernel pays the full per-sample serial
+    chain per LAUNCH, not per lane — two independent ``LP18Filter``
+    nodes each burn a 1024-tick chain padded from 1 to 128 lanes, while
+    this node runs both filters in adjacent lanes of one launch for the
+    cost of one (measured 32.9 -> 17.2 us/block at B=1024,
+    tools/lp18abl.py).  All kernel ops are elementwise over lanes and
+    both builds pad the lane axis to 128, so on the kernel path the
+    output is bit-identical to the two-node composition; the CPU
+    lax.scan fallback matches to the last ulp only (XLA CPU tanh emits
+    different code for vector vs scalar shapes).  Pinned by
+    tests/test_models_aux.py::test_twin_peaks_fused_matches_two_node.
+    """
+
+    INPUTS = (stream("input", 0.0), value("cutoff_a", 1000.0),
+              value("cutoff_b", 1900.0), value("fmod", 0.0),
+              value("resonance", 0.54))
+    OUTPUTS = (stream("output"),)
+
+    def __init__(self, cutoff_a: float = 1000.0, cutoff_b: float = 1900.0,
+                 resonance: float = 0.54):
+        self.cutoffs = (float(cutoff_a), float(cutoff_b))
+        self.resonance = float(np.clip(resonance, 0.0, 0.99))
+        self.INPUTS = (stream("input", 0.0),
+                       value("cutoff_a", self.cutoffs[0]),
+                       value("cutoff_b", self.cutoffs[1]),
+                       value("fmod", 0.0),
+                       value("resonance", self.resonance))
+
+    def init_state(self, sr: SampleRate):
+        fc = np.clip(np.asarray(self.cutoffs) / sr.hz, 0.001, 0.33)
+        # tan in float32 to match LP18Filter.init_state bit-for-bit
+        return {"z": jnp.zeros((3, 2), jnp.float32),
+                "g": jnp.asarray(np.tan(PI * fc, dtype=np.float32)),
+                "h": jnp.full((2,), 2.0 * self.resonance, jnp.float32),
+                "last_cutoff": jnp.asarray(self.cutoffs, jnp.float32),
+                "last_fmod": jnp.zeros((2,), jnp.float32),
+                "last_resonance": jnp.full((2,), self.resonance,
+                                           jnp.float32)}
+
+    def _coeffs(self, state, cutoff, fmod, resonance, sr):
+        # identical elementwise op order to LP18Filter.tick/process_block
+        # (nih-twin-peaks/src/lp18_filter.rs), vectorized over the two
+        # filter lanes in the trailing axis
+        cut_changed = jnp.logical_or(cutoff != state["last_cutoff"],
+                                     fmod != state["last_fmod"])
+        fc = jnp.clip((cutoff + fmod) / sr.hz, 0.001, 0.33)
+        g = jnp.where(cut_changed, jnp.tan(PI * fc), state["g"])
+        res_changed = resonance != state["last_resonance"]
+        h = jnp.where(res_changed,
+                      2.0 * jnp.clip(resonance, 0.0, 0.99), state["h"])
+        return cut_changed, res_changed, g, h
+
+    def tick(self, state, ins, sr):
+        cutoff = jnp.stack([ins["cutoff_a"], ins["cutoff_b"]])
+        fmod = jnp.broadcast_to(ins["fmod"], (2,))
+        resonance = jnp.broadcast_to(ins["resonance"], (2,))
+        cut_changed, res_changed, g, h = self._coeffs(
+            state, cutoff, fmod, resonance, sr)
+        z = state["z"]
+        hp = (ins["input"] - h * z[0] - z[1] - z[2]) / (1.0 + g)
+        bp1 = g * hp + z[0]
+        z0 = jnp.tanh(bp1)
+        bp2 = g * bp1 + z[1]
+        lp = g * bp2 + z[2]
+        return ({"z": jnp.stack([z0, bp2, lp]), "g": g, "h": h,
+                 "last_cutoff": jnp.where(cut_changed, cutoff,
+                                          state["last_cutoff"]),
+                 "last_fmod": jnp.where(cut_changed, fmod,
+                                        state["last_fmod"]),
+                 "last_resonance": jnp.where(res_changed, resonance,
+                                             state["last_resonance"])},
+                {"output": lp[0] - lp[1]})
+
+    def process_block(self, state, ins, events, sr, block_len):
+        B = block_len
+        cutoff = jnp.stack(
+            [jnp.broadcast_to(ins["cutoff_a"], (B,)),
+             jnp.broadcast_to(ins["cutoff_b"], (B,))], axis=-1)
+        fmod = jnp.broadcast_to(ins["fmod"][..., None], (B, 2))
+        resonance = jnp.broadcast_to(ins["resonance"][..., None], (B, 2))
+        cut_changed, res_changed, g, h = self._coeffs(
+            state, cutoff, fmod, resonance, sr)
+        x = jnp.broadcast_to(ins["input"][:, None], (B, 2))
+        z = state["z"]
+        from ..graph import explain
+        from ..ops.pallas.util import pallas_mode
+        use, interp = pallas_mode()
+        explain.note(kernel="lp18_scan" if use else "lax.scan",
+                     lanes=2, fused_dual_filter=True,
+                     sequential_exact=True)
+        if use:
+            from ..ops.pallas.iir import lp18_scan
+            y, zn = lp18_scan(x, g, h, z, interpret=interp)
+        else:
+            def step(carry, xs):
+                z0, z1, z2 = carry
+                xt, gt, ht = xs
+                hp = (xt - ht * z0 - z1 - z2) / (1.0 + gt)
+                bp1 = gt * hp + z0
+                z0n = jnp.tanh(bp1)
+                bp2 = gt * bp1 + z1
+                lp = gt * bp2 + z2
+                return (z0n, bp2, lp), lp
+
+            (z0n, z1n, z2n), y = jax.lax.scan(
+                step, (z[0], z[1], z[2]), (x, g, h))
+            zn = jnp.stack([z0n, z1n, z2n])
+        return ({"z": zn, "g": g[-1], "h": h[-1],
+                 "last_cutoff": jnp.where(cut_changed, cutoff,
+                                          state["last_cutoff"])[-1],
+                 "last_fmod": jnp.where(cut_changed, fmod,
+                                        state["last_fmod"])[-1],
+                 "last_resonance": jnp.where(
+                     res_changed, resonance,
+                     state["last_resonance"])[-1]},
+                {"output": y[:, 0] - y[:, 1]})

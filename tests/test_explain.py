@@ -173,3 +173,23 @@ def test_literal_params_fold_modulation_path(monkeypatch):
     s2.set_value("filter_env_amount", 500.0)
     notes2 = str(s2.explain())
     assert "const_outputs" not in notes2, notes2
+
+
+def test_twin_peaks_fused_kernel_noted(monkeypatch):
+    """twin_peaks' fused build reports the single 2-lane lp18_scan
+    launch; the two-node build reports two 1-lane launches — the launch
+    count IS the 1.9x (tools/lp18abl.py), so it must be inspectable."""
+    monkeypatch.setenv("OSCEN_PALLAS_INTERPRET", "1")
+    from oscen_tpu.models.twin_peaks import build_twin_peaks
+
+    c = build_twin_peaks(fused=True).compile(48000.0, block_size=64,
+                                             mode="block")
+    fused = [e for e in c.explain() if e.get("kernel") == "lp18_scan"]
+    assert len(fused) == 1, fused
+    assert fused[0]["lanes"] == 2 and fused[0]["fused_dual_filter"]
+
+    c2 = build_twin_peaks(fused=False).compile(48000.0, block_size=64,
+                                               mode="block")
+    two = [e for e in c2.explain() if e.get("kernel") == "lp18_scan"]
+    assert len(two) == 2, two
+    assert all(e["lanes"] == 1 for e in two)

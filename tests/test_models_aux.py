@@ -167,6 +167,50 @@ def test_twin_peaks_band_response():
     assert band > 100 * high, (band, high)
 
 
+def test_twin_peaks_fused_matches_two_node(monkeypatch):
+    """The fused DualLP18Diff build (one kernel launch, both filters in
+    lanes) matches the reference-structure two-node build.  Exercises
+    live param changes so the recompute-on-change cadence matches too.
+
+    On the kernel path (TPU native / interpret) the match is
+    BIT-IDENTICAL: lp18_scan pads the lane axis to 128 in both builds,
+    so every op — including tanh — runs on the same shapes and the two
+    filters occupy lanes that are elementwise independent.  The CPU
+    lax.scan fallback differs at the last ulp only: XLA CPU's tanh
+    emits different code for a (2,)-vector than for a scalar, so the
+    sample/scan comparison uses a ≤1e-6 bound instead."""
+    from oscen_tpu.models.twin_peaks import build_twin_peaks
+
+    x = (np.random.default_rng(1).standard_normal(2048) * 0.3).astype(
+        np.float32)
+
+    def run(fused, mode):
+        c = build_twin_peaks(fused=fused).compile(
+            48000.0, block_size=256, mode=mode)
+        ys = []
+        for i in range(8):
+            if i == 3:
+                c.set_value("cutoff_a", 640.0)
+                c.set_value("resonance", 0.8)
+            if i == 5:
+                c.set_value("cutoff_b", 2500.0)
+            ys.append(np.asarray(c.render(
+                256, stream_inputs={"audio_in": x[i * 256:(i + 1) * 256]}
+            )["audio_out"]))
+        return np.concatenate(ys)
+
+    # kernel path: bit-identical
+    monkeypatch.setenv("OSCEN_PALLAS_INTERPRET", "1")
+    np.testing.assert_array_equal(run(True, "block"), run(False, "block"))
+
+    # CPU scan fallback + per-sample mode: ulp-level (tanh shape effect)
+    monkeypatch.delenv("OSCEN_PALLAS_INTERPRET")
+    for mode in ("block", "sample"):
+        a = run(True, mode)
+        b = run(False, mode)
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
 @pytest.mark.slow  # >10s on the judge's CPU; slow lane: pytest -m slow
 def test_fused_fm_voice_matches_reference_structure():
     """FmOperatorChain (one fused node / Pallas kernel) equals the
